@@ -1,0 +1,86 @@
+"""Deterministic ID minting and hash-chained codes.
+
+Re-realizes the reference's I2B2BasecodeHandler.reduce_basecode contract
+(src/utils.py:89-127): IDs are pure functions of stable inputs (URIs /
+canonical keys), never of iteration order, so the same input yields the
+same ID across runs, partitionings and cluster sizes. That determinism is
+what makes the ontology<->fact join key work in the reference, and what
+makes our two-parallelism-level scaling run also a correctness check.
+
+All functions are pure Column expressions (JVM-side, whole-stage codegen);
+no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import MAX_BASECODE_LENGTH
+
+#: Canonical key separator. '|' cannot appear in our canonical components
+#: (surfaces are tokenized alphanumerics, URIs use ':' '/').
+SEP = "|"
+
+
+def canonical_key(*parts: Column | str) -> Column:
+    """``concat_ws`` of the canonical (source, type, surface, ...) parts.
+
+    Mirrors the reference's chained string build (prefix + uri + "\\",
+    src/utils.py:120-126) but flat: one concat instead of a recursion.
+    """
+    return F.concat_ws(SEP, *[F.col(p) if isinstance(p, str) else p for p in parts])
+
+
+def mint_uri(*parts: Column | str, prefix: str = "kg:e/", hash_fn: str = "xxhash64") -> Column:
+    """Deterministic entity URI from canonical parts.
+
+    ``xxhash64`` (default): 8-byte key, cheapest to shuffle/join at 10^12
+    rows. ``md5``/``sha256``: hex-string variants (md5 is the DuckDB-parity
+    choice for the driver oracle; sha256[:50] mirrors the reference's
+    basecode shape, src/utils.py:127).
+    """
+    key = canonical_key(*parts)
+    if hash_fn == "xxhash64":
+        # map to non-negative hex so URIs are clean identifiers
+        h = F.lower(F.hex(F.xxhash64(key)))
+    elif hash_fn == "md5":
+        h = F.md5(key)
+    elif hash_fn == "sha256":
+        h = F.sha2(key, 256).substr(1, MAX_BASECODE_LENGTH)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return F.concat(F.lit(prefix), h)
+
+
+def chained_code(parent_code: Column | None, uri: Column | str, cap: int = MAX_BASECODE_LENGTH) -> Column:
+    """Hash-chained basecode: ``sha256(parent_code + uri + '\\')[:cap]``.
+
+    Exact re-realization of reduce_basecode (src/utils.py:112-127): the code
+    of a node embeds its logical parent's code, so equal subtrees under
+    different parents get distinct codes, and the data pipeline can recompute
+    the same code independently (src/data_loader.py:250-255,278-282).
+    """
+    uri_c = F.col(uri) if isinstance(uri, str) else uri
+    suffixed = F.concat(uri_c, F.lit("\\"))
+    to_hash = suffixed if parent_code is None else F.concat(F.coalesce(parent_code, F.lit("")), suffixed)
+    return F.sha2(to_hash, 256).substr(1, cap)
+
+
+def dense_id(df, key_cols: list[str], id_col: str = "dense_id"):
+    """Dense 1..N integer IDs over the distinct keys, deterministically ordered.
+
+    Analog of the awk first-seen counter reindex (src/scripts/postprod.bash:
+    109-116,131-138) — but ordered by key, not encounter order, so the result
+    is identical at any parallelism (SURVEY.md §7.4 #3). Returns a mapping
+    DataFrame (key_cols..., id_col) to be broadcast-joined back (C8).
+
+    Scale note: row_number over a global window single-tasks the mapping
+    build. That is fine when distinct keys << facts (patients vs
+    observations); for truly huge key sets use zipWithIndex-style
+    per-partition offsets instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*key_cols)
+    return df.select(*key_cols).distinct().withColumn(id_col, F.row_number().over(w))

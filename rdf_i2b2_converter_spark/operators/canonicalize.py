@@ -1,0 +1,148 @@
+"""Alias canonicalization: connected components + cluster refinement.
+
+The reference collapses duplicate roots by keep-first
+(src/main_ontology.py:48-55) and rewrites IDs through awk lookup joins
+(src/scripts/postprod.bash:82-148); at web scale the alias graph of minted
+entities needs real connected components. We implement the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", public) as iterative DataFrame self-joins with
+localCheckpoint lineage truncation — converges in O(log n) rounds.
+
+Labels are the string ids themselves ordered lexicographically — no
+driver-side numbering, no hash-collision risk on the correctness path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_SALT_BUCKETS
+
+
+def _min_neighbor(e: DataFrame) -> DataFrame:
+    return e.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least(F.col("mv"), F.col("u")).alias("m")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    Neighborhoods are undirected: symmetrize first — grouping a directed
+    star by its centers only would erase the star on the next round."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    m = _min_neighbor(sym)
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v <= u (and u itself) to min(N(u) ∪ {u})."""
+    # orient edges so v <= u, then hang small neighbors + u off the min
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = _min_neighbor(oriented)
+    hang_neighbors = oriented.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    hang_self = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        hang_neighbors.unionByName(hang_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """edges(src_id, dst_id) -> mapping(id, component) where component is
+    the lexicographically smallest member. Includes every endpoint
+    (singletons in the edge set map to their component root or themselves).
+    """
+    e = (
+        edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        .unionByName(edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = e.select(F.col("u").alias("id")).distinct()
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+
+    # converged star graph: every edge is (member, root)
+    mapping = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = mapping.select(F.col("component").alias("id"), F.col("component"))
+    singles = all_nodes.join(mapping.select("id"), "id", "left_anti").join(
+        roots.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return mapping.unionByName(roots.distinct()).unionByName(singles).distinct()
+
+
+def apply_canonical(df: DataFrame, mapping: DataFrame, id_col: str, out_col: str | None = None) -> DataFrame:
+    """Rewrite ``id_col`` through the component mapping; unmapped ids keep
+    themselves — the awk left-join + replace semantics
+    (src/scripts/postprod.bash:124-126,146-148, operator C8)."""
+    out_col = out_col or id_col
+    m = mapping.select(F.col("id").alias(id_col), F.col("component").alias("__canon"))
+    return (
+        df.join(F.broadcast(m), id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("__canon"), F.col(id_col)))
+        .drop("__canon")
+    )
+
+
+def refine_clusters(linked: DataFrame, group_col: str = "component") -> DataFrame:
+    """Per-cluster refinement via applyInPandas (groupBy-applyInPandas
+    clustering of BASELINE.json north_star): within each canonical
+    component, pick the representative surface (highest total occurrence
+    count, ties lexicographic) and stamp it on every member — the analog of
+    the reference's per-group value relocation (merge_datafields.py C9/I4).
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in linked.schema.fields)
+    out_schema += ", rep_surface string"
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        totals = pdf.groupby("surface")["n_occurrences"].sum().sort_values(ascending=False)
+        best = sorted(totals[totals == totals.iloc[0]].index)[0] if len(totals) else None
+        return pdf.assign(rep_surface=best)
+
+    return linked.groupBy(group_col).applyInPandas(refine, schema=out_schema)
+
+
+def salt_keys(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Explicit hot-key salting for head entities: adds ``__salt`` derived
+    deterministically from a uniform column hash. Aggregations run
+    (key, __salt) partial then key final — two short shuffles instead of one
+    skewed one. AQE skew-join handles the join side; this handles groupBy.
+    """
+    return df.withColumn("__salt", F.pmod(F.xxhash64(key_col, F.lit(42)), F.lit(n_buckets)))
+
+
+def salted_count(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """count per key via two-stage salted aggregation."""
+    return (
+        salt_keys(df, key_col, n_buckets)
+        .groupBy(key_col, "__salt")
+        .agg(F.count("*").alias("__partial"))
+        .groupBy(key_col)
+        .agg(F.sum("__partial").alias("n"))
+    )

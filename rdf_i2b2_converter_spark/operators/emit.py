@@ -1,0 +1,165 @@
+"""Triple emission: linked mentions -> (subj, pred, obj, obj_datatype).
+
+Analog of the reference's OBSERVATION_FACT row materialization
+(ObservationRegister.digest + add_record, src/data_loader.py:142-179): one
+output row per path end, carrying inherited context. Here a "path end" is
+each (mention-entity, predicate) pair; the inherited context is the page's
+(source_url, lang, crawl_ts) with the reference's overwrite policy
+(ContextFactory.digest, src/data_loader.py:320-352).
+
+Everything is built-in column expressions over one DataFrame — Catalyst
+fuses the per-predicate projections into a single stage; the only shuffle
+in the whole emission is the final ``distinct``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    CONTEXT_FIELDS,
+    PRED_EXTRACTED_AT,
+    PRED_IN_LANG,
+    PRED_LINK_SCORE,
+    PRED_MENTIONED_IN,
+    PRED_SAME_AS,
+    PRED_SURFACE_FORM,
+    PRED_TYPE,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_STRING,
+)
+from ..functions.ids import mint_uri
+from ..functions.values import format_datetime
+
+
+def resolve_context(context_rows: DataFrame) -> DataFrame:
+    """Context precedence resolver — ContextFactory semantics
+    (src/data_loader.py:320-352) as a window:
+
+    input rows (entity_id, field, value, depth); output one row per
+    (entity_id, field). ``overwrite=True`` fields take the DEEPEST value
+    (inner overrides inherited), ``overwrite=False`` the SHALLOWEST
+    (first-wins, outer context survives). Ties at equal depth break on
+    value for determinism (SURVEY.md §7.4 #4: explicit priority rank, not
+    iteration order)."""
+    overwrite_fields = [k for k, v in CONTEXT_FIELDS.items() if v["overwrite"]]
+    depth_rank = F.when(
+        F.col("field").isin(overwrite_fields), -F.col("depth")
+    ).otherwise(F.col("depth"))
+    w = Window.partitionBy("entity_id", "field").orderBy(depth_rank.asc(), F.col("value").asc())
+    return (
+        context_rows.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def filter_mandatory_context(df: DataFrame) -> DataFrame:
+    """Drop rows missing mandatory context — the validity gate of
+    src/data_loader.py:305-318 (operator B7)."""
+    cond = F.lit(True)
+    for field, spec in CONTEXT_FIELDS.items():
+        if spec.get("mandatory") and field in df.columns:
+            cond = cond & F.col(field).isNotNull() & (F.col(field) != "")
+    return df.filter(cond)
+
+
+def emit_triples(
+    linked: DataFrame,
+    canonical_mapping: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+    n_parts: int = 64,
+) -> DataFrame:
+    """linked(url, surface, type_uri, canonical_id, link_score, lang,
+    warc_ts?) -> TRIPLES.
+
+    subj is minted deterministically from canonical (source, type, surface)
+    — the reference's instance-URI / basecode determinism contract
+    (src/utils.py:112-127). ``part_id`` buckets the sink by subj hash so a
+    re-run writes the same rows to the same partitions (resume idempotency).
+    """
+    df = filter_mandatory_context(
+        linked.withColumnRenamed("url", "source_url")
+        if "source_url" not in linked.columns
+        else linked
+    )
+    subj = mint_uri("source_url", "type_uri", "surface", prefix="kg:e/", hash_fn=hash_fn)
+    df = df.withColumn("subj", subj)
+
+    if canonical_mapping is not None:
+        m = canonical_mapping.select(
+            F.col("id").alias("canonical_id"), F.col("component").alias("__canon")
+        )
+        df = df.join(F.broadcast(m), "canonical_id", "left").withColumn(
+            "canonical_entity",
+            F.concat(F.lit("kg:c/"), F.coalesce(F.col("__canon"), F.col("canonical_id"))),
+        ).drop("__canon")
+    else:
+        df = df.withColumn(
+            "canonical_entity", F.concat(F.lit("kg:c/"), F.col("canonical_id"))
+        )
+
+    def t(pred: str, obj, datatype: str | None):
+        return df.select(
+            F.col("subj"),
+            F.lit(pred).alias("pred"),
+            obj.cast("string").alias("obj"),
+            F.lit(datatype).cast("string").alias("obj_datatype"),
+            F.col("source_url"),
+        )
+
+    parts = [
+        t(PRED_TYPE, F.col("type_uri"), None),
+        t(PRED_MENTIONED_IN, F.col("source_url"), None),
+        t(PRED_SURFACE_FORM, F.col("surface"), XSD_STRING),
+        t(PRED_SAME_AS, F.col("canonical_entity"), None),
+        t(PRED_LINK_SCORE, F.col("link_score"), XSD_DOUBLE),
+    ]
+    if "lang" in df.columns:
+        parts.append(t(PRED_IN_LANG, F.col("lang"), XSD_STRING))
+    if "warc_ts" in df.columns:
+        parts.append(t(PRED_EXTRACTED_AT, format_datetime("warc_ts"), XSD_DATETIME))
+
+    triples = parts[0]
+    for p in parts[1:]:
+        triples = triples.unionByName(p)
+    # D1 distinct (remove_duplicates, src/utils.py:252-257) + stable bucketing
+    return (
+        triples.distinct()
+        .withColumn("part_id", F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int"))
+    )
+
+
+def integrity_check(triples: DataFrame, ontology_closed: DataFrame) -> DataFrame:
+    """Referential integrity (C10, check_basecodes src/scripts/obs_tools.py:
+    5-29): every rdf:type object must exist in the closed ontology. Returns
+    the offending objects (empty == pass) via a broadcast left_anti join."""
+    typed = triples.filter(F.col("pred") == PRED_TYPE).select(F.col("obj")).distinct()
+    dim = ontology_closed.select(F.col("class_uri").alias("obj"))
+    return typed.join(F.broadcast(dim), "obj", "left_anti")
+
+
+def triples_to_ntriples(triples: DataFrame) -> DataFrame:
+    """Render as N-Triples lines (the rdflib serialization analog,
+    src/main_ontology.py flow) — pure string expressions, writable with
+    ``df.write.text``."""
+    subj = F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
+    escaped = F.regexp_replace(F.col("obj"), r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', r"\\\"")
+    lit_obj = F.concat(
+        F.lit('"'),
+        escaped,
+        F.lit('"'),
+        F.when(
+            F.col("obj_datatype").isNotNull(),
+            F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
+        ).otherwise(F.lit("")),
+    )
+    iri_obj = F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    obj = F.when(F.col("obj_datatype").isNotNull(), lit_obj).otherwise(iri_obj)
+    return triples.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
+    )

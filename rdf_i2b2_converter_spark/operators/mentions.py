@@ -1,0 +1,157 @@
+"""Gazetteer mention detection: token-level Aho-Corasick in mapInPandas.
+
+The reference finds "instances of configured classes" by SPARQL type lookup
+(get_next_class_instances, src/data_loader.py:95-123); our corpus is raw
+text, so the analog is dictionary matching of gazetteer surfaces against
+each page's token stream. This is the one operator built-in Spark SQL
+cannot express (multi-pattern substring search over 10^6 surfaces), so it
+is a batched Arrow `mapInPandas`: the automaton is built ONCE per executor
+from a broadcast surface list and amortized over every Arrow batch — no
+per-row Python-object churn beyond the token loop itself.
+
+Semantics (shared with the pure-Python oracle, sources/synthetic.py):
+- tokenization contract: config.TOKEN_SPLIT_REGEX on lowercased text;
+- ALL matches are reported, including overlapping ones (the single-token
+  surface inside a multi-token one) — mirroring the reference's exhaustive
+  predicate-object enumeration (explore_obstree visits every edge,
+  src/data_loader.py:278-292).
+
+Scale: pages never shuffle — matching is map-side; output is one row per
+(url, surface) with a count, so downstream joins carry the compacted form.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import deque
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..config import TOKEN_SPLIT_REGEX
+
+
+class TokenAhoCorasick:
+    """Aho-Corasick over token sequences (not characters): states are token
+    trie nodes, failure links computed by BFS. Match unit = gazetteer
+    surface as a tuple of tokens."""
+
+    def __init__(self, surfaces: list[str]):
+        # trie: list of dicts token -> state; outputs: state -> [surface]
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[tuple[str, int]]] = [[]]  # (surface, n_tokens)
+        self.fail: list[int] = [0]
+        for s in surfaces:
+            toks = tuple(t for t in re.split(TOKEN_SPLIT_REGEX, s.lower()) if t)
+            if not toks:
+                continue
+            st = 0
+            for t in toks:
+                nxt = self.goto[st].get(t)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[st][t] = nxt
+                st = nxt
+            self.out[st].append((s, len(toks)))
+        # BFS failure links
+        q: deque[int] = deque()
+        for st in self.goto[0].values():
+            q.append(st)
+        while q:
+            r = q.popleft()
+            for tok, u in self.goto[r].items():
+                q.append(u)
+                f = self.fail[r]
+                while f and tok not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[u] = self.goto[f].get(tok, 0) if self.goto[f].get(tok, 0) != u else 0
+                self.out[u] = self.out[u] + self.out[self.fail[u]]
+
+    def find(self, toks: list[str]) -> Iterator[tuple[str, int, int]]:
+        """Yield (surface, begin_token, end_token_exclusive) for all matches."""
+        st = 0
+        for i, tok in enumerate(toks):
+            while st and tok not in self.goto[st]:
+                st = self.fail[st]
+            st = self.goto[st].get(tok, 0)
+            for surface, n in self.out[st]:
+                yield surface, i - n + 1, i + 1
+
+
+# per-executor automaton cache keyed by id of the broadcast payload
+_AC_CACHE: dict[int, TokenAhoCorasick] = {}
+
+
+def detect_mentions(pages: DataFrame, gazetteer: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages(text/url) x gazetteer(surface) -> MENTIONS(url, surface,
+    begin_pos, end_pos, n_occurrences). Token positions of the FIRST
+    occurrence; count of all occurrences."""
+    spark = pages.sparkSession
+    surfaces = [r[0] for r in gazetteer.select("surface").distinct().collect()]
+    bc = spark.sparkContext.broadcast(sorted(surfaces))
+    split_re = re.compile(TOKEN_SPLIT_REGEX)
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick(bc.value)
+            _AC_CACHE.clear()
+            _AC_CACHE[key] = ac
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                if not text:
+                    continue
+                toks = [t for t in split_re.split(text.lower()) if t]
+                seen: dict[str, list[int]] = {}
+                for surface, b, e in ac.find(toks):
+                    ent = seen.get(surface)
+                    if ent is None:
+                        seen[surface] = [b, e, 1]
+                    else:
+                        ent[2] += 1
+                for surface, (b, e, n) in seen.items():
+                    rows.append((url, surface, b, e, n))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schemas.MENTIONS.fields]
+            ).astype({"begin_pos": "int32", "end_pos": "int32", "n_occurrences": "int32"})
+
+    cols = ["url", text_col] if text_col != "url" else ["url"]
+    return pages.select(*cols).mapInPandas(match, schema=schemas.MENTIONS)
+
+
+def link_mentions(mentions: DataFrame, gazetteer: DataFrame, pages: DataFrame) -> DataFrame:
+    """Entity linking: broadcast-join mentions to gazetteer candidates and
+    keep the best-scoring candidate per (url, surface).
+
+    Score = gazetteer weight + a deterministic context prior (0.05 when the
+    page lang is 'en', the gazetteer's majority source language here) —
+    stand-in for the reference's context-validity gating
+    (src/data_loader.py:305-318). Ties break on canonical_id ascending so
+    linking is order-independent (SURVEY.md §7.4 #3).
+    """
+    from pyspark.sql import Window
+
+    cand = (
+        mentions.join(F.broadcast(gazetteer), "surface")
+        .join(F.broadcast(pages.select("url", "lang")), "url", "left")
+        .withColumn(
+            "link_score",
+            F.round(F.col("weight") + F.when(F.col("lang") == "en", 0.05).otherwise(0.0), 4),
+        )
+    )
+    w = Window.partitionBy("url", "surface").orderBy(
+        F.col("link_score").desc(), F.col("canonical_id").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "weight")
+    )

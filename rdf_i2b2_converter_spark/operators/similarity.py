@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane) approximate variant as the scale path: at 10^9+ vectors
+the bucketed form probes only matching-signature buckets, turning a full
+cross-product into a short equi-join.
+
+Dot products run as ``F.aggregate``/``F.zip_with`` array expressions
+(JVM-side); the hyperplane projections use a deterministic pseudo-random
+basis derived from xxhash64 so signatures are stable across runs/cluster
+sizes (the engine-wide determinism contract, src/utils.py:112-127 analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector: map-side score (the
+    query broadcasts as a literal array), then a single ordered take —
+    Spark's sort-based TakeOrderedAndProject, no full sort shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j of
+    plane p is a signed value derived from a splitmix-style integer mix —
+    stable across runs with no RNG state."""
+    out = []
+    for j in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        z = (z ^ (z >> 31)) * 0x7FB5D329728EA185 % (1 << 64)
+        out.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+def rh_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit p = sign of
+    <v, h_p>. Returns a long; equal signatures = candidate neighbors."""
+    v = vec_col.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        h = F.array(*[F.lit(x) for x in _hyperplane(dim, p + 1)])
+        sig = sig + F.when(_dot(v, h) > 0, F.lit(1).cast("long") << p).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+) -> DataFrame:
+    """IVF/LSH-style ANN: filter to vectors whose hyperplane signature is
+    within hamming distance 1 of the query's, then exact-rank the survivors.
+    At scale the signature is a partition/bucket key — the probe touches
+    only ~(n_planes+1)/2^n_planes of the data."""
+    dim = len(query_vec)
+    sig_col = rh_signature(F.col(vec_col), dim, n_planes)
+    import builtins
+
+    qsig = 0
+    for p in range(n_planes):
+        d = builtins.sum(q * h for q, h in zip(query_vec, _hyperplane(dim, p + 1)))
+        if d > 0:
+            qsig |= 1 << p
+    cand = df.withColumn("__sig", sig_col).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= 1
+    )
+    return brute_force_topk(cand.drop("__sig"), query_vec, k, id_col, vec_col)
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Blocked all-pairs: exact cosine top-k neighbors within each label
+    block (IVF-with-given-centroids shape). The self-join shuffles on the
+    block key only; per-pair scoring stays in codegen."""
+    a = df.select(
+        F.col(label_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = df.select(
+        F.col(label_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    pairs = a.join(b, label_col).filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        label_col,
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")

