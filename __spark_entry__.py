@@ -1,38 +1,970 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2,
+implemented through the engine package (rdf_i2b2_converter_spark); the
+matching ``oracle_sql()`` entry is the independent DuckDB formulation.
+Column names and value formatting (rounding, timestamp rendering, hash
+choice) are aligned on both sides because the driver hashes values after
+sorting columns by name.
+
+Conventions:
+- floats rounded explicitly on BOTH sides (Spark round == DuckDB round,
+  half away from zero);
+- timestamps rendered as 'yyyy-MM-dd HH:mm:ss' strings (duckdb timestamps
+  are UTC-naive; Spark session TZ is pinned UTC);
+- counts/ranks cast to BIGINT on both sides;
+- URI minting uses md5 here (DuckDB has no xxhash64); the engine default
+  stays xxhash64 (functions/ids.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# inline gazetteer shared by the KG queries (single- and multi-token
+# surfaces drawn from the documents vocabulary)
+# --------------------------------------------------------------------------
+
+GAZ: list[tuple[str, str]] = [
+    ("spark", "kg:Product"),
+    ("join", "kg:Operator"),
+    ("hash", "kg:Operator"),
+    ("scan", "kg:Operator"),
+    ("merge", "kg:Operator"),
+    ("window", "kg:Operator"),
+    ("stream", "kg:Concept"),
+    ("batch", "kg:Concept"),
+    ("sort", "kg:Operator"),
+    ("table", "kg:Concept"),
+    ("hash join", "kg:PhysicalOp"),
+    ("merge join", "kg:PhysicalOp"),
+]
+
+_GAZ_SQL_VALUES = ", ".join(f"('{s}', '{t}')" for s, t in GAZ)
+
+#: tokenization contract — must equal config.TOKEN_SPLIT_REGEX
+_TOK = "[^a-z0-9]+"
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    f"'{_TOK}'), x -> x <> '') AS t FROM documents)"
+)
+
+_GRAMS_CTE = (
+    f"WITH {_TOKS_CTE}, "
+    "uni AS (SELECT doc_id, unnest(t) AS g FROM toks), "
+    "big AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i+1])) AS g FROM toks), "
+    "grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+    f"gaz(surface, type_uri) AS (VALUES {_GAZ_SQL_VALUES}), "
+    "mentions AS (SELECT g.doc_id, gaz.surface, gaz.type_uri, "
+    "count(*)::BIGINT AS n_occurrences FROM grams g JOIN gaz "
+    "ON g.g = gaz.surface GROUP BY 1, 2, 3)"
+)
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, source) -> pages-shaped (url=doc_id)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang", "source"
+    )
+
+
+def _gaz_df(spark: SparkSession) -> DataFrame:
+    from rdf_i2b2_converter_spark import schemas
+
+    rows = [(s, t, s.replace(" ", "_"), 1.0) for s, t in GAZ]
+    return spark.createDataFrame(rows, schema=schemas.GAZETTEER)
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.mentions import detect_mentions
+
+    pages = _docs_as_pages(spark, sf_dir)
+    m = detect_mentions(pages, _gaz_df(spark), repartition_to=spark.sparkContext.defaultParallelism)
+    return m.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "surface",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def _kg_type_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.ids import mint_uri
+    from rdf_i2b2_converter_spark.operators.mentions import detect_mentions
+
+    pages = _docs_as_pages(spark, sf_dir)
+    gaz = _gaz_df(spark)
+    m = detect_mentions(
+        pages, gaz, repartition_to=spark.sparkContext.defaultParallelism
+    ).join(F.broadcast(gaz), "surface")
+    subj = mint_uri("url", "type_uri", "surface", prefix="kg:e/", hash_fn="md5")
+    # single-pass emission: explode (pred, obj) structs — a union of three
+    # branches would re-run mention detection once per predicate
+    structs = F.array(
+        F.struct(F.lit("rdf:type").alias("pred"), F.col("type_uri").alias("obj")),
+        F.struct(
+            F.lit("kg:mentionedIn").alias("pred"),
+            F.concat(F.lit("doc:"), F.col("url")).alias("obj"),
+        ),
+        F.struct(F.lit("kg:surfaceForm").alias("pred"), F.col("surface").alias("obj")),
+    )
+    return (
+        m.select(subj.alias("subj"), F.explode(structs).alias("t"))
+        .select("subj", "t.pred", "t.obj")
+        .distinct()
+    )
+
+
+def _kg_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.ids import mint_uri
+    from rdf_i2b2_converter_spark.operators.mentions import detect_mentions
+
+    pages = _docs_as_pages(spark, sf_dir)
+    gaz = _gaz_df(spark)
+    m = detect_mentions(
+        pages, gaz, repartition_to=spark.sparkContext.defaultParallelism
+    ).join(F.broadcast(gaz), "surface")
+    subj = mint_uri("url", "type_uri", "surface", prefix="kg:e/", hash_fn="md5")
+    return (
+        m.select(F.col("type_uri"), subj.alias("subj"))
+        .groupBy("type_uri")
+        .agg(F.countDistinct("subj").cast("long").alias("n_entities"))
+    )
+
+
+_KG_MENTIONS_SQL = f"{_GRAMS_CTE} SELECT doc_id, surface, n_occurrences FROM mentions"
+
+_KG_TYPE_TRIPLES_SQL = f"""{_GRAMS_CTE},
+minted AS (SELECT 'kg:e/' || md5(doc_id || '|' || type_uri || '|' || surface) AS subj,
+                  type_uri, doc_id, surface FROM mentions)
+SELECT DISTINCT subj, 'rdf:type' AS pred, type_uri AS obj FROM minted
+UNION
+SELECT DISTINCT subj, 'kg:mentionedIn' AS pred, 'doc:' || doc_id AS obj FROM minted
+UNION
+SELECT DISTINCT subj, 'kg:surfaceForm' AS pred, surface AS obj FROM minted
+"""
+
+_KG_ENTITY_COUNTS_SQL = f"""{_GRAMS_CTE}
+SELECT type_uri,
+       count(DISTINCT 'kg:e/' || md5(doc_id || '|' || type_uri || '|' || surface))::BIGINT
+           AS n_entities
+FROM mentions GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# G1/G5/G6 — transitive closure with materialized path + hash-chained code
+# (region -> nation -> customer as a 3-level hierarchy)
+# --------------------------------------------------------------------------
+
+def _g1_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark import schemas
+    from rdf_i2b2_converter_spark.operators.closure import close_ontology
+
+    region = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("class_uri"),
+        F.lit(None).cast("string").alias("parent_uri"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("class_uri"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent_uri"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("class_uri"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent_uri"),
+        )
+    )
+    ont = (
+        region.unionByName(nation)
+        .unionByName(cust)
+        .select(
+            "class_uri",
+            "parent_uri",
+            F.lit("class").alias("kind"),
+            F.lit(None).cast("string").alias("label"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("terminology"),
+            F.lit(False).alias("blacklisted"),
+        )
+    )
+    closed = close_ontology(ont)
+    return closed.select("class_uri", F.col("level").cast("long").alias("level"), "path", "code")
+
+
+_G1_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT 'n' || n_nationkey AS child, 'r' || n_regionkey AS parent FROM nation
+    UNION ALL
+    SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer WHERE c_custkey <= 200
+), tree AS (
+    SELECT 'r' || r_regionkey AS class_uri, 0::BIGINT AS level,
+           '\\' || 'r' || r_regionkey || '\\' AS path,
+           substr(sha256('r' || r_regionkey || '\\'), 1, 50) AS code
+    FROM region
+    UNION ALL
+    SELECT e.child, t.level + 1, t.path || e.child || '\\',
+           substr(sha256(t.code || e.child || '\\'), 1, 50)
+    FROM edges e JOIN tree t ON e.parent = t.class_uri
+)
+SELECT class_uri, level, path, code FROM tree
+"""
+
+
+def _g5_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.closure import subtree
+
+    closed = _g1_closure(spark, sf_dir)
+    return subtree(closed, "\\r0\\").select("class_uri", "path")
+
+
+_G5_SUBTREE_SQL = (
+    _G1_CLOSURE_SQL.replace("SELECT class_uri, level, path, code FROM tree", "")
+    + "SELECT class_uri, path FROM tree "
+    "WHERE path LIKE '\\r0\\%' AND path <> '\\r0\\'"
+)
+
+
+# --------------------------------------------------------------------------
+# windows / reindex (E1, E2, E3, D2, D6)
+# --------------------------------------------------------------------------
+
+def _e1_instance_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("instance_num")
+    )
+
+
+_E1_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS instance_num
+FROM events
+"""
+
+
+def _e2_dense_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import reindex
+
+    orders = _t(spark, sf_dir, "orders")
+    rewritten, _mapping = reindex(orders, "o_custkey", "cust_num")
+    return rewritten.select("o_orderkey", F.col("cust_num").cast("long").alias("cust_num"))
+
+
+_E2_SQL = """
+SELECT o_orderkey, dense_rank() OVER (ORDER BY o_custkey)::BIGINT AS cust_num FROM orders
+"""
+
+
+def _e3_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import row_ids
+
+    nat = _t(spark, sf_dir, "nation")
+    return row_ids(nat, ["n_nationkey"], "row_id").select(
+        "n_nationkey", F.col("row_id").cast("long").alias("row_id")
+    )
+
+
+_E3_SQL = "SELECT n_nationkey, (row_number() OVER (ORDER BY n_nationkey) - 1)::BIGINT AS row_id FROM nation"
+
+
+def _d2_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import dedup_first
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts")
+    )
+
+
+_D2_SQL = """
+SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def _d6_first_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+_D6_SQL = """
+SELECT o_custkey, o_orderkey
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# joins (C5, C7, C8, C10, C12) + aggregation (D5)
+# --------------------------------------------------------------------------
+
+def _c5_multihop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_C5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _c7_replace_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import replace_codes_inner
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", F.col("l_partkey").cast("string").alias("part_code")
+    )
+    lookup = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("part_code")
+    ).filter(F.col("l_partkey") % 2 == 0)
+    return replace_codes_inner(li, lookup, "l_partkey", "part_code").select(
+        "l_orderkey", "l_linenumber", "part_code"
+    )
+
+
+_C7_SQL = """
+SELECT l_orderkey, l_linenumber, p_brand AS part_code
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_partkey % 2 = 0
+"""
+
+
+def _c8_replace_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import replace_codes_left
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), F.lit("UNKNOWN").alias("cust_name")
+    )
+    lookup = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.col("c_name").alias("cust_name")
+    )
+    return replace_codes_left(orders, lookup, "c_custkey", "cust_name").select(
+        "o_orderkey", "cust_name"
+    )
+
+
+_C8_SQL = """
+SELECT o_orderkey, coalesce(c_name, 'UNKNOWN') AS cust_name
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0)
+ON o_custkey = c_custkey
+"""
+
+
+def _c10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.postprod import anti_join_check
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return anti_join_check(li, dim, "p_partkey")
+
+
+_C10_SQL = """
+SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
+"""
+
+
+def _c12_prefix_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    route = (
+        F.when(F.col("source").startswith("src1"), F.lit("shard1"))
+        .when(F.col("source").startswith("src0"), F.lit("shard0"))
+        .otherwise(F.lit("shard_other"))
+    )
+    return docs.select(route.alias("route"), "lang").groupBy("route", "lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_C12_SQL = """
+SELECT CASE WHEN source LIKE 'src1%' THEN 'shard1'
+            WHEN source LIKE 'src0%' THEN 'shard0'
+            ELSE 'shard_other' END AS route,
+       lang, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _d5_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_D5_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# filters (B1, B5, B7) and set ops (F1, F3)
+# --------------------------------------------------------------------------
+
+def _b1_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bl = ["src0", "src13"]
+    return docs.filter(~F.col("source").isin(bl)).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_B1_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+WHERE source NOT IN ('src0', 'src13') GROUP BY lang
+"""
+
+
+def _b5_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("hash (join|scan)")).select("doc_id")
+
+
+_B5_SQL = "SELECT doc_id FROM documents WHERE regexp_matches(text, 'hash (join|scan)')"
+
+
+def _b7_mandatory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull() & (F.col("value") > 100))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+_B7_SQL = """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND value > 100
+GROUP BY event_type
+"""
+
+
+def _f1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+_F1_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def _f3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(with_orders, "c_custkey", "left_anti").distinct()
+
+
+_F3_SQL = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+
+
+# --------------------------------------------------------------------------
+# scalar functions (H2/H9, H4, H13)
+# --------------------------------------------------------------------------
+
+def _h4_format_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.values import format_date_generalized
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select("o_orderkey", format_date_generalized("o_orderdate").alias("obs_date"))
+
+
+_H4_SQL = """
+SELECT o_orderkey, strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') AS obs_date
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def _h9_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", "([0-9]+)$", 1).alias("src_num"),
+        F.regexp_extract(F.col("text"), "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+_H9_SQL = """
+SELECT doc_id,
+       coalesce(regexp_extract(source, '([0-9]+)$', 1), '') AS src_num,
+       coalesce(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word
+FROM documents
+"""
+
+
+def _h13_value_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.values import dispatch_value
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("string").alias("raw_value"),
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("xsd:double"))
+        .when(F.col("event_type") == "view", F.lit("xsd:string"))
+        .otherwise(F.lit("xsd:string"))
+        .alias("datatype"),
+    )
+    out = dispatch_value(ev, "datatype", "raw_value")
+    return out.select(
+        "event_id",
+        F.round(F.col("nval_num"), 2).alias("nval_num"),
+        "tval_char",
+        "valtype_cd",
+    )
+
+
+_H13_SQL = """
+SELECT event_id,
+       CASE WHEN event_type IN ('click', 'purchase') THEN round(value, 2) END AS nval_num,
+       CASE WHEN event_type IN ('click', 'purchase') THEN 'E' ELSE value::VARCHAR END AS tval_char,
+       CASE WHEN event_type IN ('click', 'purchase') THEN 'N' ELSE 'T' END AS valtype_cd
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+def _t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+_T_EXACT_DEDUP_SQL = f"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '{_TOK}', ' ', 'g')))
+"""
+
+
+def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+
+
+_T_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len(list_filter(string_split_regex(lower(text), '{_TOK}'), x -> x <> ''))::BIGINT
+       AS n_tokens
+FROM documents
+"""
+
+
+def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(lang_id("text").alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_T_LANGID_SQL = f"""
+WITH {_TOKS_CTE},
+counts AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','and','of','to','in'))) AS c_en,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS c_de,
+    len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS c_fr,
+    len(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS c_es
+  FROM toks
+), pred AS (
+  SELECT CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+              WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM counts
+)
+SELECT pred_lang, count(*)::BIGINT AS n_docs FROM pred GROUP BY 1
+"""
+
+
+_ALL_STOPWORDS = sorted(
+    {
+        "the", "and", "of", "to", "in",
+        "der", "die", "und", "das", "ist",
+        "le", "la", "et", "les", "des",
+        "el", "de", "que", "los",
+    }
+)
+
+
+def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_T_QUALITY_SQL = f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT d.doc_id, t.t,
+         length(d.text) AS n_chars,
+         length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')) AS alpha_chars,
+         len(t.t) AS n_tok,
+         len(list_filter(t.t, x -> x IN ({", ".join("'" + w + "'" for w in _ALL_STOPWORDS)}))) AS n_stop
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0 END) * 0.4
+         + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0 END) * 0.3
+         + (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * 0.3,
+       4) AS quality
+FROM base
+"""
+
+
+def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.functions.text import fingerprint, min_shingle_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        min_shingle_fingerprint("text", 3).alias("min_shingle_fp"),
+    )
+
+
+_T_FINGERPRINT_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '{_TOK}', ' ', 'g'))) AS fp,
+       list_aggregate(list_transform(list_transform(range(1, len(t.t) - 1),
+           i -> array_to_string(list_slice(t.t, i, i + 2), ' ')), s -> md5(s)), 'min')
+           AS min_shingle_fp
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+"""
+
+
+def _t_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", k=3, n_hashes=4)
+    return sig.select(
+        "doc_id",
+        F.col("minhash")[0].alias("mh0"),
+        F.col("minhash")[1].alias("mh1"),
+        F.col("minhash")[2].alias("mh2"),
+        F.col("minhash")[3].alias("mh3"),
+    )
+
+
+_T_MINHASH_SQL = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT d.doc_id, list_transform(range(1, len(t.t) - 1),
+         i -> array_to_string(list_slice(t.t, i, i + 2), ' ')) AS s
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       list_aggregate(list_transform(s, x -> md5(x || '#0')), 'min') AS mh0,
+       list_aggregate(list_transform(s, x -> md5(x || '#1')), 'min') AS mh1,
+       list_aggregate(list_transform(s, x -> md5(x || '#2')), 'min') AS mh2,
+       list_aggregate(list_transform(s, x -> md5(x || '#3')), 'min') AS mh3
+FROM sh
+"""
+
+
+def _t_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_hashes=4, n_bands=2)
+
+
+_T_LSH_PAIRS_SQL = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT d.doc_id, list_transform(range(1, len(t.t) - 1),
+         i -> array_to_string(list_slice(t.t, i, i + 2), ' ')) AS s
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+sig AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_transform(s, x -> md5(x || '#0')), 'min') || '|'
+          || list_aggregate(list_transform(s, x -> md5(x || '#1')), 'min')) AS band0,
+         md5(list_aggregate(list_transform(s, x -> md5(x || '#2')), 'min') || '|'
+          || list_aggregate(list_transform(s, x -> md5(x || '#3')), 'min')) AS band1
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1, band1 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def _t_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).filter(F.col("id_a") < 100).withColumn(
+        "id_b", F.col("id_a") + 1
+    )
+    return jaccard_pairs(docs, pairs, "doc_id", "text", k=3)
+
+
+_T_JACCARD_SQL = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT d.doc_id, list_distinct(list_transform(range(1, len(t.t) - 1),
+         i -> array_to_string(list_slice(t.t, i, i + 2), ' '))) AS s
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id < 100)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4)
+           AS jaccard
+FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+"""
+
+
+def _s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, list(q), k=10, round_digits=4)
+
+
+_S_ANN_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _s_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.similarity import pairwise_topk_per_label
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return pairwise_topk_per_label(emb, k=3).select("id_a", "id_b", "cos_sim")
+
+
+_S_KNN_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC) <= 3
+"""
+
+
+def _j_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+_J_WINDOW_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only checks (not SQL-expressible / engine-internal determinism)
+# --------------------------------------------------------------------------
+
+def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_i2b2_converter_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash64(docs, "text").select("doc_id", "simhash")
+
+
+def _g7_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization over an alias graph derived
+    from orders (o_custkey chains) — non-SQL-expressible iterative op."""
+    from rdf_i2b2_converter_spark import schemas
+    from rdf_i2b2_converter_spark.operators.canonicalize import connected_components
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    edges = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src_id"),
+        F.concat(F.lit("b"), (F.col("o_custkey") % 50)).alias("dst_id"),
+    ).distinct()
+    return connected_components(edges)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the KG triple-emission pipeline over documents-as-pages at
+    sf0.001 (mention detection -> linking -> minting -> distinct triples)."""
+    return _kg_type_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (north_star semantics)
+        "kg_mentions": _kg_mentions,
+        "kg_type_triples": _kg_type_triples,
+        "kg_entity_counts": _kg_entity_counts,
+        # hierarchy / closure (G1, G5, G6)
+        "g1_closure": _g1_closure,
+        "g5_subtree": _g5_subtree,
+        # windows / reindex (E1-E3, D2, D6)
+        "e1_instance_numbering": _e1_instance_numbering,
+        "e2_dense_reindex": _e2_dense_reindex,
+        "e3_row_ids": _e3_row_ids,
+        "d2_dedup_first": _d2_dedup_first,
+        "d6_first_per_group": _d6_first_order_per_cust,
+        # joins / agg (C5, C7, C8, C10, C12, D5)
+        "c5_multihop_revenue": _c5_multihop_revenue,
+        "c7_replace_inner": _c7_replace_inner,
+        "c8_replace_left": _c8_replace_left,
+        "c10_anti_join": _c10_anti_join,
+        "c12_prefix_routing": _c12_prefix_routing,
+        "d5_groupby_q1": _d5_groupby_q1,
+        # filters / set ops (B1, B5, B7, F1, F3)
+        "b1_blacklist_filter": _b1_blacklist,
+        "b5_regex_filter": _b5_regex_filter,
+        "b7_mandatory_filter": _b7_mandatory,
+        "f1_union_distinct": _f1_union_distinct,
+        "f3_except": _f3_except,
+        # scalar functions (H4, H9, H13)
+        "h4_format_date": _h4_format_date,
+        "h9_regexp_extract": _h9_regexp_extract,
+        "h13_value_dispatch": _h13_value_dispatch,
+        # training-data ops
+        "t_exact_dedup": _t_exact_dedup,
+        "t_token_count": _t_token_count,
+        "t_langid": _t_langid,
+        "t_quality": _t_quality,
+        "t_fingerprint": _t_fingerprint,
+        "t_minhash": _t_minhash,
+        "t_lsh_pairs": _t_lsh_pairs,
+        "t_jaccard": _t_jaccard,
+        "s_ann_topk": _s_ann_topk,
+        "s_knn_per_label": _s_knn_label,
+        # streaming-analog windowed agg (J)
+        "j_windowed_counts": _j_windowed_counts,
+        # rows-only (non-SQL-expressible)
+        "t_simhash": _t_simhash,
+        "g7_cc_canonical": _g7_cc_canonical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_mentions": _KG_MENTIONS_SQL,
+        "kg_type_triples": _KG_TYPE_TRIPLES_SQL,
+        "kg_entity_counts": _KG_ENTITY_COUNTS_SQL,
+        "g1_closure": _G1_CLOSURE_SQL,
+        "g5_subtree": _G5_SUBTREE_SQL,
+        "e1_instance_numbering": _E1_SQL,
+        "e2_dense_reindex": _E2_SQL,
+        "e3_row_ids": _E3_SQL,
+        "d2_dedup_first": _D2_SQL,
+        "d6_first_per_group": _D6_SQL,
+        "c5_multihop_revenue": _C5_SQL,
+        "c7_replace_inner": _C7_SQL,
+        "c8_replace_left": _C8_SQL,
+        "c10_anti_join": _C10_SQL,
+        "c12_prefix_routing": _C12_SQL,
+        "d5_groupby_q1": _D5_SQL,
+        "b1_blacklist_filter": _B1_SQL,
+        "b5_regex_filter": _B5_SQL,
+        "b7_mandatory_filter": _B7_SQL,
+        "f1_union_distinct": _F1_SQL,
+        "f3_except": _F3_SQL,
+        "h4_format_date": _H4_SQL,
+        "h9_regexp_extract": _H9_SQL,
+        "h13_value_dispatch": _H13_SQL,
+        "t_exact_dedup": _T_EXACT_DEDUP_SQL,
+        "t_token_count": _T_TOKEN_COUNT_SQL,
+        "t_langid": _T_LANGID_SQL,
+        "t_quality": _T_QUALITY_SQL,
+        "t_fingerprint": _T_FINGERPRINT_SQL,
+        "t_minhash": _T_MINHASH_SQL,
+        "t_lsh_pairs": _T_LSH_PAIRS_SQL,
+        "t_jaccard": _T_JACCARD_SQL,
+        "s_ann_topk": _S_ANN_SQL,
+        "s_knn_per_label": _S_KNN_SQL,
+        "j_windowed_counts": _J_WINDOW_SQL,
+        # t_simhash, g7_cc_canonical: rows-only (xxhash64 / iterative CC
+        # not expressible in DuckDB SQL)
+    }

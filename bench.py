@@ -1,0 +1,83 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall seconds over the suite; ``docs_per_sec``
+(KG pipeline throughput) and per-query seconds are included for the
+BASELINE.md comparison. Scaling-efficiency evidence across two parallelism
+levels is produced by bench_scaling.py (subprocess per level — one JVM
+cannot change its master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from rdf_i2b2_converter_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    # warm the JVM and the Python UDF workers so per-query numbers measure
+    # the plan, not process startup
+    spark.range(1000).select(F.sum("id")).collect()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 1000, numPartitions=cpus).mapInPandas(_noop, "id long").count()
+
+    qs = E.queries()
+    suite = [
+        "kg_type_triples",      # full KG emission path (mapInPandas + joins)
+        "d5_groupby_q1",        # scan-heavy group-agg
+        "c5_multihop_revenue",  # 3-way join + agg
+        "e2_dense_reindex",     # window reindex + broadcast join-back
+        "g1_closure",           # iterative transitive closure
+        "g7_cc_canonical",      # connected components
+        "t_lsh_pairs",          # MinHash-LSH near-dup
+        "t_exact_dedup",        # hash dedup
+        "s_ann_topk",           # embedding similarity
+        "j_windowed_counts",    # windowed agg (streaming analog)
+    ]
+    timings: dict[str, float] = {}
+    for name in suite:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs_per_sec = round(n_docs / timings["kg_type_triples"], 1)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,15 +83,22 @@ def token_count(text: Column | str) -> Column:
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingles as space-joined strings (for MinHash / Jaccard).
 
-    Pure array expressions: sequence over start offsets + slice + concat —
-    no UDF, so shingling stays inside whole-stage codegen.
+    Implemented as a zip_with chain over k-1 shifted copies of the token
+    array, NOT as ``transform(sequence(...), i -> slice(toks, i, k))``:
+    an expression referenced *inside* a higher-order-function lambda is
+    re-evaluated per array element, which made shingling O(len^2) per row
+    (tokenization re-run ~len times). zip_with keeps every tokenization
+    outside the lambda — evaluated once per row, still fully codegen'd.
+
+    zip_with pads the shorter side with nulls; null-propagating concat
+    turns incomplete trailing shingles into nulls, filtered at the end.
     """
     toks = tokens(text)
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    result = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        result = F.zip_with(result, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(result, lambda x: x.isNotNull())
 
 
 # --------------------------------------------------------- text analysis

@@ -72,6 +72,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # small alias graphs: collapse to one partition so each of the O(log n)
+    # rounds is a single task instead of shuffle_partitions tasks — the
+    # rounds are driver-synchronous, so their latency is a serial floor for
+    # the whole pipeline. Large graphs keep full parallelism.
+    if e.count() < 1_000_000:
+        e = e.coalesce(1)
     all_nodes = e.select(F.col("u").alias("id")).distinct()
 
     prev_sig = None

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import BLACKLIST, CLOSURE_CHECKPOINT_EVERY, MAX_BASECODE_LENGTH
+from ..config import BLACKLIST
 from ..functions.ids import chained_code
 
 #: rname (src/utils.py:130-132): strip the namespace prefix up to ':'.
@@ -68,9 +68,10 @@ def close_ontology(ontology: DataFrame, max_rounds: int = 64) -> DataFrame:
         (F.coalesce(F.col("n_same_term_children"), F.lit(0)) > 1).alias("stop_expansion"),
     )
 
+    # materialize the (small) node table once — it is re-joined every round
     nodes = classes.join(flags, "class_uri", "left").select(
         "class_uri", "parent_uri", "kind", "terminology", "stop_expansion"
-    )
+    ).localCheckpoint(eager=True)
 
     roots = nodes.filter(F.col("parent_uri").isNull()).select(
         "class_uri",
@@ -107,13 +108,14 @@ def close_ontology(ontology: DataFrame, max_rounds: int = 64) -> DataFrame:
                 F.col("n.stop_expansion").alias("stop_expansion"),
             )
         )
-        if level % CLOSURE_CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # checkpoint every round: truncates the iterative lineage (SURVEY.md
+        # §4) and makes the emptiness check a metadata-cheap count
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.count() == 0:
             break
         result = result.unionByName(nxt)
         frontier = nxt
-    return result.localCheckpoint(eager=True)
+    return result
 
 
 def attach_properties(closed: DataFrame, ontology: DataFrame) -> DataFrame:

@@ -68,6 +68,10 @@ def lsh_candidate_pairs(
     canonicalize.salt_keys if a single band key dominates."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, text_col, k, n_hashes).select(id_col, "minhash")
+    # materialize before the self-join: joining on COMPUTED columns makes
+    # Catalyst lose the equi-keys and fall back to a nested-loop plan;
+    # checkpointed attributes give a plain shuffled hash join.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -113,13 +117,15 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1),
         )
         for i in range(64)
     ]
     sim = F.lit(0).cast("long")
     for i, v in enumerate(bit_votes):
-        sim = sim + F.when(v > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
     return df.withColumn(out_col, sim)
 
 

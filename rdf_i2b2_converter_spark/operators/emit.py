@@ -71,6 +71,7 @@ def emit_triples(
     canonical_mapping: DataFrame | None = None,
     hash_fn: str = "xxhash64",
     n_parts: int = 64,
+    dedup: bool = True,
 ) -> DataFrame:
     """linked(url, surface, type_uri, canonical_id, link_score, lang,
     warc_ts?) -> TRIPLES.
@@ -101,34 +102,42 @@ def emit_triples(
             "canonical_entity", F.concat(F.lit("kg:c/"), F.col("canonical_id"))
         )
 
-    def t(pred: str, obj, datatype: str | None):
-        return df.select(
-            F.col("subj"),
+    # ONE pass: explode an array of (pred, obj, datatype) structs instead of
+    # a union of per-predicate branches — a union would recompute the whole
+    # upstream (mapInPandas mention detection included) once per predicate.
+    def s(pred: str, obj, datatype: str | None):
+        return F.struct(
             F.lit(pred).alias("pred"),
             obj.cast("string").alias("obj"),
             F.lit(datatype).cast("string").alias("obj_datatype"),
-            F.col("source_url"),
         )
 
-    parts = [
-        t(PRED_TYPE, F.col("type_uri"), None),
-        t(PRED_MENTIONED_IN, F.col("source_url"), None),
-        t(PRED_SURFACE_FORM, F.col("surface"), XSD_STRING),
-        t(PRED_SAME_AS, F.col("canonical_entity"), None),
-        t(PRED_LINK_SCORE, F.col("link_score"), XSD_DOUBLE),
+    structs = [
+        s(PRED_TYPE, F.col("type_uri"), None),
+        s(PRED_MENTIONED_IN, F.col("source_url"), None),
+        s(PRED_SURFACE_FORM, F.col("surface"), XSD_STRING),
+        s(PRED_SAME_AS, F.col("canonical_entity"), None),
+        s(PRED_LINK_SCORE, F.col("link_score"), XSD_DOUBLE),
     ]
     if "lang" in df.columns:
-        parts.append(t(PRED_IN_LANG, F.col("lang"), XSD_STRING))
+        structs.append(s(PRED_IN_LANG, F.col("lang"), XSD_STRING))
     if "warc_ts" in df.columns:
-        parts.append(t(PRED_EXTRACTED_AT, format_datetime("warc_ts"), XSD_DATETIME))
+        structs.append(s(PRED_EXTRACTED_AT, format_datetime("warc_ts"), XSD_DATETIME))
 
-    triples = parts[0]
-    for p in parts[1:]:
-        triples = triples.unionByName(p)
-    # D1 distinct (remove_duplicates, src/utils.py:252-257) + stable bucketing
-    return (
-        triples.distinct()
-        .withColumn("part_id", F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int"))
+    triples = df.select(
+        "subj", "source_url", F.explode(F.array(*structs)).alias("t")
+    ).select("subj", "t.pred", "t.obj", "t.obj_datatype", "source_url")
+    # D1 distinct (remove_duplicates, src/utils.py:252-257). Callers whose
+    # input is already unique per (url, surface) — link_mentions guarantees
+    # this via its row_number — should pass dedup=False: the exploded
+    # triples are then distinct by construction and skipping the dedup
+    # avoids a full-width shuffle of every emitted triple (the single
+    # largest shuffle in the pipeline at 10^12 scale; dedup early on the
+    # compact mention rows, not late on exploded triples).
+    if dedup:
+        triples = triples.distinct()
+    return triples.withColumn(
+        "part_id", F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int")
     )
 
 

@@ -88,13 +88,27 @@ class TokenAhoCorasick:
 _AC_CACHE: dict[int, TokenAhoCorasick] = {}
 
 
-def detect_mentions(pages: DataFrame, gazetteer: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_mentions(
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+    repartition_to: int | None = None,
+) -> DataFrame:
     """pages(text/url) x gazetteer(surface) -> MENTIONS(url, surface,
     begin_pos, end_pos, n_occurrences). Token positions of the FIRST
-    occurrence; count of all occurrences."""
+    occurrence; count of all occurrences.
+
+    ``repartition_to``: optionally shuffle pages to N partitions first —
+    useful when the source collapses to few input splits (tiny local files);
+    at real scale leave None and let input splits drive parallelism.
+    """
     spark = pages.sparkSession
-    surfaces = [r[0] for r in gazetteer.select("surface").distinct().collect()]
-    bc = spark.sparkContext.broadcast(sorted(surfaces))
+    # dedupe driver-side: a distinct() over a dozen surfaces would spin up a
+    # whole shuffle stage for nothing
+    surfaces = sorted({r[0] for r in gazetteer.select("surface").collect()})
+    bc = spark.sparkContext.broadcast(surfaces)
+    if repartition_to:
+        pages = pages.repartition(repartition_to)
     split_re = re.compile(TOKEN_SPLIT_REGEX)
 
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

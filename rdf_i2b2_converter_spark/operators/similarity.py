@@ -39,6 +39,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector: map-side score (the
     query broadcasts as a literal array), then a single ordered take —
@@ -46,7 +47,7 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_digits).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -70,9 +71,9 @@ def rh_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         h = F.array(*[F.lit(x) for x in _hyperplane(dim, p + 1)])
-        sig = sig + F.when(_dot(v, h) > 0, F.lit(1).cast("long") << p).otherwise(
-            F.lit(0).cast("long")
-        )
+        sig = sig + F.when(
+            _dot(v, h) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
     return sig
 
 

@@ -77,7 +77,11 @@ def build_triples(
         F.broadcast(texted.select("url", "warc_ts").distinct()), "url", "left"
     ) if "warc_ts" not in linked.columns else linked
     mapping = connected_components(alias_edges) if alias_edges is not None else None
-    return emit_triples(linked, canonical_mapping=mapping, hash_fn=hash_fn, n_parts=n_parts)
+    # dedup=False: link_mentions output is unique per (url, surface), so the
+    # exploded triples are distinct by construction — no dedup shuffle.
+    return emit_triples(
+        linked, canonical_mapping=mapping, hash_fn=hash_fn, n_parts=n_parts, dedup=False
+    )
 
 
 def run_pipeline(

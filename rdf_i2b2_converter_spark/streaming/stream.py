@@ -29,14 +29,12 @@ def read_pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     )
 
 
-def streaming_triples(pages_stream: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """Stateless plan — safe in append mode. Mention detection and linking
-    are per-row/broadcast ops, so the stream never needs state."""
-    mentions = detect_mentions(pages_stream, gazetteer)
-    linked = link_mentions(
-        mentions, gazetteer, pages_stream.select("url", "lang")
-    )
-    return linked
+def streaming_mentions(pages_stream: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Stateless on-stream stage: mention detection is a pure mapInPandas,
+    legal on a streaming DataFrame. Linking (a window) and the pages
+    re-join (stream-stream, unsupported) belong in foreachBatch, where each
+    micro-batch is a static DataFrame — see run_stream_to_sink."""
+    return detect_mentions(pages_stream, gazetteer)
 
 
 def crawl_rate(pages_stream: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
@@ -56,16 +54,18 @@ def run_stream_to_sink(
     sink_dir: str,
     checkpoint_dir: str,
 ) -> None:
-    """foreachBatch sink: each micro-batch runs the batch emitter and
-    appends to partitioned parquet. Deterministic subj + dynamic partition
-    overwrite give idempotent replays (north_rule resumability)."""
+    """foreachBatch sink: each micro-batch (a STATIC DataFrame — windows
+    and joins allowed) runs the full batch linker+emitter and appends to
+    partitioned parquet. Deterministic subj + source-file-driven batches
+    give idempotent replays (north_rule resumability)."""
     stream = read_pages_stream(spark, pages_path)
-    linked = streaming_triples(stream, gazetteer)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = emit_triples(batch_df)
+        mentions = detect_mentions(batch_df, gazetteer)
+        linked = link_mentions(mentions, gazetteer, batch_df.select("url", "lang"))
+        triples = emit_triples(linked, dedup=False)
         (
             triples.repartition("part_id")
             .write.mode("append")
@@ -74,7 +74,7 @@ def run_stream_to_sink(
         )
 
     q = (
-        linked.writeStream.outputMode("append")
+        stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink)
         .trigger(availableNow=True)

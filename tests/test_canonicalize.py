@@ -1,0 +1,83 @@
+"""Connected components vs a pure-Python union-find oracle, plus the
+awk-join replacement semantics (C8) and skew-salting equivalence."""
+
+from pyspark.sql import functions as F
+
+from rdf_i2b2_converter_spark import schemas
+from rdf_i2b2_converter_spark.operators.canonicalize import (
+    apply_canonical,
+    connected_components,
+    refine_clusters,
+    salted_count,
+)
+
+
+def _union_find_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_cc_matches_union_find(spark, corpus):
+    edges_df = corpus["alias_edges"]
+    got = {r["id"]: r["component"] for r in connected_components(edges_df).collect()}
+    exp = _union_find_components([(r["src_id"], r["dst_id"]) for r in edges_df.collect()])
+    assert got == exp
+
+
+def test_cc_long_chain(spark):
+    """Path graph of 40 nodes — worst case for naive propagation; the
+    star algorithm must converge within max_rounds (O(log n))."""
+    edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)]
+    df = spark.createDataFrame(edges, schema=schemas.ALIAS_EDGES)
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 40
+
+
+def test_apply_canonical_left_semantics(spark):
+    mapping = spark.createDataFrame([("b", "a"), ("a", "a")], "id string, component string")
+    df = spark.createDataFrame([("b", 1), ("z", 2)], "eid string, v int")
+    out = {r["eid"]: r["v"] for r in apply_canonical(df, mapping, "eid").collect()}
+    assert out == {"a": 1, "z": 2}  # mapped rewritten, unmapped kept
+
+
+def test_refine_clusters_representative(spark):
+    rows = [
+        ("c1", "alpha", 5),
+        ("c1", "beta", 9),
+        ("c1", "alpha", 3),
+        ("c2", "gamma", 1),
+    ]
+    df = spark.createDataFrame(rows, "component string, surface string, n_occurrences int")
+    out = refine_clusters(df)
+    got = {(r["component"], r["surface"]): r["rep_surface"] for r in out.collect()}
+    assert got[("c1", "beta")] == "beta"      # 9 > 5+3? no: alpha total=8 < beta 9
+    assert got[("c1", "alpha")] == "beta"
+    assert got[("c2", "gamma")] == "gamma"
+
+
+def test_salted_count_equals_plain_count(spark):
+    df = spark.createDataFrame([(f"k{i%3}",) for i in range(100)], "k string")
+    plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    salted = {r["k"]: r["n"] for r in salted_count(df, "k", 8).collect()}
+    assert plain == salted

@@ -1,0 +1,73 @@
+"""Dedup suite: exact, MinHash-LSH, SimHash, Jaccard — on a constructed
+corpus with known duplicates/near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_i2b2_converter_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while birds sing songs "
+    "about bright summer days under blue skies near the old river"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra tail words here"),  # near dup of 0
+        (3, BASE.replace("quick", "slow")),  # near dup of 0
+        (4, "completely different content about spark dataframes and shuffles joins aggregations windows"),
+        (5, "The  QUICK brown fox... jumps over the lazy dog while birds sing songs about bright summer days under blue skies near the old river"),  # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert 0 in kept and 1 not in kept and 5 not in kept  # 1,5 dups of 0
+    assert {2, 3, 4}.issubset(set(kept))
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r["doc_id"]: tuple(r["minhash"]) for r in minhash_signature(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[5]
+    assert sigs[0] != sigs[4]
+
+
+def test_lsh_finds_near_dups_not_distinct(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, n_hashes=8, n_bands=4).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 4)] == 0.0
+
+
+def test_simhash_hamming_orders_similarity(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    df = spark.createDataFrame(
+        [(sims[0], sims[3], sims[4])], "a long, b long, c long"
+    ).select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    )
+    row = df.collect()[0]
+    assert sims[0] == sims[1]  # identical text
+    assert row["near"] < row["far"]

@@ -1,0 +1,61 @@
+"""Embedding similarity: brute-force top-k vs a NumPy oracle; ANN recall;
+per-label kNN."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_i2b2_converter_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    pairwise_topk_per_label,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype("float32")
+    rows = [(i, vecs[i].tolist(), int(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    return df, vecs
+
+
+def _np_topk(vecs, q, k):
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(vecs)), key=lambda i: (-round(float(sims[i]), 6), i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    q = vecs[0].astype("float64")
+    got = [r["vec_id"] for r in brute_force_topk(df, q.tolist(), k=10).collect()]
+    assert got == _np_topk(vecs.astype("float64"), q, 10)
+
+
+def test_ann_recall_reasonable_and_subset_exact_ranked(spark, vectors):
+    df, vecs = vectors
+    q = vecs[3].astype("float64").tolist()
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_topk(df, q, k=10, n_planes=8).collect()]
+    assert approx[0] == 3  # the query vector itself survives bucketing
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3  # LSH with 8 planes on random gaussians is lossy but sane
+
+
+def test_per_label_knn(spark, vectors):
+    df, vecs = vectors
+    out = pairwise_topk_per_label(df, k=3).collect()
+    by_a: dict[int, list] = {}
+    for r in out:
+        by_a.setdefault(r["id_a"], []).append(r)
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    for id_a in [0, 7, 42]:
+        label = id_a % 5
+        members = [i for i in range(200) if i % 5 == label and i != id_a]
+        sims = {i: round(float(v64[id_a] @ v64[i] / (norms[id_a] * norms[i])), 6) for i in members}
+        want = sorted(members, key=lambda i: (-sims[i], i))[:3]
+        got = [r["id_b"] for r in sorted(by_a[id_a], key=lambda r: (-r["cos_sim"], r["id_b"]))]
+        assert got == want

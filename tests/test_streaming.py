@@ -1,0 +1,51 @@
+"""Structured-Streaming front-end: availableNow foreachBatch sink emits the
+same triple set as the batch pipeline (stateless plan => exactly-once by
+idempotency), plus the watermarked windowed counter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_i2b2_converter_spark.operators.emit import emit_triples
+from rdf_i2b2_converter_spark.operators.mentions import detect_mentions, link_mentions
+from rdf_i2b2_converter_spark.streaming.stream import crawl_rate, read_pages_stream, run_stream_to_sink
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_parquet"))
+    corpus["pages"].repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_sink_matches_batch(spark, corpus, pages_dir, tmp_path):
+    sink = str(tmp_path / "s_sink")
+    ckpt = str(tmp_path / "s_ckpt")
+    run_stream_to_sink(spark, pages_dir, corpus["gazetteer"], sink, ckpt)
+    streamed = spark.read.parquet(f"{sink}/triples")
+
+    pages = spark.read.parquet(pages_dir)
+    m = detect_mentions(pages, corpus["gazetteer"])
+    linked = link_mentions(m, corpus["gazetteer"], pages.select("url", "lang"))
+    batch = emit_triples(linked)
+
+    hs = streamed.agg(F.bit_xor(F.xxhash64("subj", "pred", "obj"))).collect()[0][0]
+    hb = batch.agg(F.bit_xor(F.xxhash64("subj", "pred", "obj"))).collect()[0][0]
+    assert streamed.count() == batch.count()
+    assert hs == hb
+
+
+def test_windowed_crawl_rate(spark, corpus, pages_dir, tmp_path):
+    stream = read_pages_stream(spark, pages_dir)
+    agg = crawl_rate(stream, "1 hour", "1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert sum(r["n_pages"] for r in rows) == corpus["n"]
+    assert {r["lang"] for r in rows} == {"en", "de", "fr", "es", "zh"}
