@@ -453,6 +453,91 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _b3_filter_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (src/starschema.py:20-26): filter on a tag column, project and
+    rename 3 columns."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("fact_key"),
+        F.col("o_orderpriority").alias("priority_cd"),
+        F.col("o_totalprice").alias("price_num"),
+    )
+
+
+_B3_SQL = """
+SELECT o_orderkey AS fact_key, o_orderpriority AS priority_cd, o_totalprice AS price_num
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def _b4_multi_filter_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (src/starschema.py:119-134): multi-predicate filter + projection
+    + literal constant columns."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter((F.col("p_size") <= 10) & (F.col("p_retailprice") > 1500)).select(
+        "p_partkey",
+        "p_brand",
+        F.lit("CONCEPT_CD").alias("c_facttablecolumn"),
+        F.lit("T").alias("c_protected"),
+    )
+
+
+_B4_SQL = """
+SELECT p_partkey, p_brand, 'CONCEPT_CD' AS c_facttablecolumn, 'T' AS c_protected
+FROM part WHERE p_size <= 10 AND p_retailprice > 1500
+"""
+
+
+def _i1_keyed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 (merge_datafields.py:65-67): keyed in-place update via join +
+    coalesce overwrite."""
+    from rdf_i2b2_converter_spark.operators.migrate import keyed_update
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), F.lit("0-OVERRIDDEN").alias("o_orderpriority"))
+    )
+    return keyed_update(orders, updates, ["o_custkey"], ["o_orderpriority"]).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+_I1_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+            THEN '0-OVERRIDDEN' ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
+def _h2_rname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 (src/utils.py:130-132): strip everything up to the separator."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring_index(F.col("p_type"), " ", -1).alias("type_rname"),
+    )
+
+
+_H2_SQL = """
+SELECT p_partkey,
+       CASE WHEN strpos(p_type, ' ') = 0 THEN p_type
+            ELSE regexp_extract(p_type, '([^ ]+)$', 1) END AS type_rname
+FROM part
+"""
+
+
+def _d1_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (remove_duplicates, src/utils.py:252-257)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_D1_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
 # --------------------------------------------------------------------------
 # filters (B1, B5, B7) and set ops (F1, F3)
 # --------------------------------------------------------------------------
@@ -899,7 +984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_anti_join": _c10_anti_join,
         "c12_prefix_routing": _c12_prefix_routing,
         "d5_groupby_q1": _d5_groupby_q1,
-        # filters / set ops (B1, B5, B7, F1, F3)
+        # filters / set ops (B1, B3, B4, B5, B7, F1, F3)
+        "b3_filter_project_rename": _b3_filter_project_rename,
+        "b4_multi_filter_constants": _b4_multi_filter_constants,
+        "i1_keyed_update": _i1_keyed_update,
+        "h2_rname": _h2_rname,
+        "d1_distinct_rows": _d1_distinct_rows,
         "b1_blacklist_filter": _b1_blacklist,
         "b5_regex_filter": _b5_regex_filter,
         "b7_mandatory_filter": _b7_mandatory,
@@ -946,6 +1036,11 @@ def oracle_sql() -> dict[str, str]:
         "c10_anti_join": _C10_SQL,
         "c12_prefix_routing": _C12_SQL,
         "d5_groupby_q1": _D5_SQL,
+        "b3_filter_project_rename": _B3_SQL,
+        "b4_multi_filter_constants": _B4_SQL,
+        "i1_keyed_update": _I1_SQL,
+        "h2_rname": _H2_SQL,
+        "d1_distinct_rows": _D1_SQL,
         "b1_blacklist_filter": _B1_SQL,
         "b5_regex_filter": _B5_SQL,
         "b7_mandatory_filter": _B7_SQL,

@@ -1,0 +1,107 @@
+"""spark-submit entry point (north_rule: launched with spark-submit
+--py-files on a multi-executor cluster).
+
+    zip -r kg.zip rdf_i2b2_converter_spark
+    spark-submit --py-files kg.zip --master ... cli.py pipeline \\
+        --pages /data/pages --gazetteer /data/gazetteer.parquet \\
+        --alias-edges /data/aliases.parquet --out /data/triples
+
+Subcommands mirror the reference's entry points: ``ontology`` ==
+src/main_ontology.py, ``pipeline`` == src/main_data.py + postprod.bash,
+``synth`` generates the deterministic demo corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("spark-kg-cli", master=args.master)
+
+
+def cmd_ontology(args) -> int:
+    from .plans.ontology_pipeline import run_ontology_pipeline
+
+    spark = _spark(args)
+    ontology = spark.read.parquet(args.ontology)
+    outs = run_ontology_pipeline(ontology)
+    for name, df in outs.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+        print(f"wrote {name}: {df.count()} rows")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .operators.closure import close_ontology
+    from .plans.pipeline import run_pipeline
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    gazetteer = spark.read.parquet(args.gazetteer)
+    alias_edges = spark.read.parquet(args.alias_edges) if args.alias_edges else None
+    closed = close_ontology(spark.read.parquet(args.ontology)) if args.ontology else None
+    _, metrics = run_pipeline(
+        spark,
+        pages,
+        gazetteer,
+        ontology_closed=closed,
+        alias_edges=alias_edges,
+        sink_dir=args.out,
+        n_parts=args.parts,
+        resume=not args.no_resume,
+    )
+    print(metrics.to_json())
+    return 0 if metrics.n_integrity_violations == 0 else 2
+
+
+def cmd_synth(args) -> int:
+    from .sources import synthetic as syn
+
+    spark = _spark(args)
+    syn.gen_pages(spark, args.n_docs, num_partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/pages")
+    syn.gen_gazetteer(spark).write.mode("overwrite").parquet(f"{args.out}/gazetteer")
+    syn.gen_ontology(spark).write.mode("overwrite").parquet(f"{args.out}/ontology")
+    syn.gen_alias_edges(spark).write.mode("overwrite").parquet(f"{args.out}/alias_edges")
+    print(json.dumps({"n_docs": args.n_docs, "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spark-kg")
+    p.add_argument("--master", default=None, help="override master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    po = sub.add_parser("ontology", help="ontology -> star-schema tables")
+    po.add_argument("--ontology", required=True)
+    po.add_argument("--out", required=True)
+    po.set_defaults(fn=cmd_ontology)
+
+    pp = sub.add_parser("pipeline", help="pages -> triples (resumable)")
+    pp.add_argument("--pages", required=True)
+    pp.add_argument("--gazetteer", required=True)
+    pp.add_argument("--ontology", default=None)
+    pp.add_argument("--alias-edges", default=None)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--parts", type=int, default=64)
+    pp.add_argument("--no-resume", action="store_true")
+    pp.set_defaults(fn=cmd_pipeline)
+
+    ps = sub.add_parser("synth", help="generate deterministic demo corpus")
+    ps.add_argument("--n-docs", type=int, default=10000)
+    ps.add_argument("--partitions", type=int, default=32)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

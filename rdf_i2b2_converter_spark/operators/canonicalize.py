@@ -20,6 +20,32 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_SALT_BUCKETS
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Collected union-find with lexicographic-min roots; returned as a
+    (broadcastable) mapping DataFrame. Only for sub-threshold edge sets."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in e.collect():
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    rows = []
+    for members in comp.values():
+        m = min(members)
+        rows.extend((n, m) for n in members)
+    return e.sparkSession.createDataFrame(rows, "id string, component string")
+
+
 def _min_neighbor(e: DataFrame) -> DataFrame:
     return e.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least(F.col("mv"), F.col("u")).alias("m")
@@ -60,10 +86,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 32, driver_threshold: int = 200_000
+) -> DataFrame:
     """edges(src_id, dst_id) -> mapping(id, component) where component is
     the lexicographically smallest member. Includes every endpoint
     (singletons in the edge set map to their component root or themselves).
+
+    Small graphs (< driver_threshold edges) run union-find on the driver —
+    the same small-side reasoning as a broadcast join (and as the
+    reference's in-memory awk lookup builds, postprod.bash:82-85): a dozen
+    driver-synchronous Spark rounds cost far more than collecting a few MB.
+    Large graphs run the distributed large-star/small-star loop.
     """
     e = (
         edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
@@ -72,12 +106,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # small alias graphs: collapse to one partition so each of the O(log n)
-    # rounds is a single task instead of shuffle_partitions tasks — the
-    # rounds are driver-synchronous, so their latency is a serial floor for
-    # the whole pipeline. Large graphs keep full parallelism.
-    if e.count() < 1_000_000:
-        e = e.coalesce(1)
+    n_edges = e.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([], "id string, component string")
+    if n_edges < driver_threshold:
+        return _driver_union_find(e)
     all_nodes = e.select(F.col("u").alias("id")).distinct()
 
     prev_sig = None

@@ -93,10 +93,17 @@ def detect_mentions(
     gazetteer: DataFrame,
     text_col: str = "text",
     repartition_to: int | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(text/url) x gazetteer(surface) -> MENTIONS(url, surface,
-    begin_pos, end_pos, n_occurrences). Token positions of the FIRST
-    occurrence; count of all occurrences.
+    begin_pos, end_pos, n_occurrences [, passthrough...]). Token positions
+    of the FIRST occurrence; count of all occurrences.
+
+    ``passthrough_cols``: page columns (lang, warc_ts, ...) copied onto
+    every mention row map-side. This is how downstream context joins are
+    avoided entirely — re-joining mentions back to pages on url would mean
+    a shuffle or a driver-built broadcast of the full url set, both of
+    which are serial-ish costs the matcher can make free.
 
     ``repartition_to``: optionally shuffle pages to N partitions first —
     useful when the source collapses to few input splits (tiny local files);
@@ -111,6 +118,15 @@ def detect_mentions(
         pages = pages.repartition(repartition_to)
     split_re = re.compile(TOKEN_SPLIT_REGEX)
 
+    from pyspark.sql import types as T
+
+    base_cols = [f.name for f in schemas.MENTIONS.fields]
+    # fresh StructType: StructType.add mutates in place, so never .add onto
+    # the shared module-level schema
+    out_schema = T.StructType(
+        list(schemas.MENTIONS.fields) + [pages.schema[c] for c in passthrough_cols]
+    )
+
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         key = id(bc.value)
         ac = _AC_CACHE.get(key)
@@ -120,7 +136,8 @@ def detect_mentions(
             _AC_CACHE[key] = ac
         for pdf in batches:
             rows: list[tuple] = []
-            for url, text in zip(pdf["url"], pdf[text_col]):
+            extras = [pdf[c] for c in passthrough_cols]
+            for i, (url, text) in enumerate(zip(pdf["url"], pdf[text_col])):
                 if not text:
                     continue
                 toks = [t for t in split_re.split(text.lower()) if t]
@@ -131,17 +148,20 @@ def detect_mentions(
                         seen[surface] = [b, e, 1]
                     else:
                         ent[2] += 1
+                extra_vals = tuple(col.iloc[i] for col in extras)
                 for surface, (b, e, n) in seen.items():
-                    rows.append((url, surface, b, e, n))
+                    rows.append((url, surface, b, e, n) + extra_vals)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in schemas.MENTIONS.fields]
+                rows, columns=base_cols + list(passthrough_cols)
             ).astype({"begin_pos": "int32", "end_pos": "int32", "n_occurrences": "int32"})
 
-    cols = ["url", text_col] if text_col != "url" else ["url"]
-    return pages.select(*cols).mapInPandas(match, schema=schemas.MENTIONS)
+    cols = dict.fromkeys(["url", text_col, *passthrough_cols])
+    return pages.select(*cols).mapInPandas(match, schema=out_schema)
 
 
-def link_mentions(mentions: DataFrame, gazetteer: DataFrame, pages: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame, gazetteer: DataFrame, pages: DataFrame | None = None
+) -> DataFrame:
     """Entity linking: broadcast-join mentions to gazetteer candidates and
     keep the best-scoring candidate per (url, surface).
 
@@ -150,17 +170,22 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame, pages: DataFrame) -
     stand-in for the reference's context-validity gating
     (src/data_loader.py:305-318). Ties break on canonical_id ascending so
     linking is order-independent (SURVEY.md §7.4 #3).
+
+    ``pages`` is only needed when the mentions do not already carry a
+    ``lang`` column (use detect_mentions(passthrough_cols=("lang",)) to
+    avoid this join entirely).
     """
     from pyspark.sql import Window
 
-    cand = (
-        mentions.join(F.broadcast(gazetteer), "surface")
-        .join(F.broadcast(pages.select("url", "lang")), "url", "left")
-        .withColumn(
-            "link_score",
-            F.round(F.col("weight") + F.when(F.col("lang") == "en", 0.05).otherwise(0.0), 4),
-        )
+    cand = mentions.join(F.broadcast(gazetteer), "surface")
+    if "lang" not in cand.columns and pages is not None:
+        cand = cand.join(F.broadcast(pages.select("url", "lang")), "url", "left")
+    lang_prior = (
+        F.when(F.col("lang") == "en", 0.05).otherwise(0.0)
+        if "lang" in cand.columns
+        else F.lit(0.0)
     )
+    cand = cand.withColumn("link_score", F.round(F.col("weight") + lang_prior, 4))
     w = Window.partitionBy("url", "surface").orderBy(
         F.col("link_score").desc(), F.col("canonical_id").asc()
     )

@@ -1,0 +1,130 @@
+"""Update / merge / migration operators (SURVEY.md §2 I).
+
+The reference mutates its CSV tables in post-passes: keyed in-place update
+(merge_datafields.py:65-67, I1), metadata-XML migration between path-
+resolved rows (merge_metavaluefields.py:51-114, I2), unit insertion
+(fill_metadata_units.py:6-29, I3), per-group value relocation
+(merge_datafields.py:9-68, I4). DataFrames are immutable, so each becomes
+a join + conditional projection — which is also what an Iceberg MERGE INTO
+compiles to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keyed_update(target: DataFrame, updates: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """I1 — df.update analog: overwrite ``cols`` on key-matching rows, keep
+    everything else. updates must be unique per key (enforced upstream)."""
+    upd = updates.select(*keys, *[F.col(c).alias(f"__u_{c}") for c in cols])
+    out = target.join(F.broadcast(upd), keys, "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c))).drop(f"__u_{c}")
+    return out
+
+
+def migrate_field(
+    df: DataFrame,
+    moves: list[tuple[str, str]],
+    path_col: str,
+    value_col: str,
+    drop_sources: bool = True,
+) -> DataFrame:
+    """I2 — move ``value_col`` from source rows to destination rows, where
+    destinations are exact paths or '*'-suffixed prefixes (wildcard filter
+    B8, merge_metavaluefields.py:18-48). Sources are dropped afterwards
+    (the reference logs and deletes them, lines 96-110).
+
+    moves: [(source_path, dest_path_or_wildcard), ...] — a small config
+    list, turned into a broadcastable values DataFrame.
+    """
+    spark = df.sparkSession
+    moves_df = F.broadcast(
+        spark.createDataFrame(moves, "src_path string, dst_path string")
+    )
+    src_vals = (
+        df.join(moves_df, F.col(path_col) == F.col("src_path"))
+        .select("dst_path", F.col(value_col).alias("__moved"))
+        .filter(F.col("__moved").isNotNull())
+    )
+    is_wild = F.col("dst_path").endswith("*")
+    prefix = F.expr("substring(dst_path, 1, length(dst_path) - 1)")
+    matched = df.join(
+        F.broadcast(src_vals),
+        F.when(
+            is_wild,
+            F.col(path_col).startswith(prefix) & (F.col(path_col) != prefix),
+        ).otherwise(F.col(path_col) == F.col("dst_path")),
+        "left",
+    )
+    out = matched.withColumn(
+        value_col, F.coalesce(F.col("__moved"), F.col(value_col))
+    ).drop("__moved", "dst_path")
+    if drop_sources:
+        out = out.join(
+            moves_df.select(F.col("src_path").alias(path_col)), path_col, "left_anti"
+        )
+    return out
+
+
+def insert_units(
+    df: DataFrame,
+    units: DataFrame,
+    path_col: str,
+    meta_col: str,
+    default: str = "(unit not found)",
+) -> DataFrame:
+    """I3 — splice a looked-up unit into the metadata blob of numeric rows:
+    regex-key extract (H9) + broadcast lookup with default (C11) +
+    regexp_replace (H10). ``units`` is (key, unit)."""
+    key = F.regexp_extract(F.col(path_col), r".*\\([^\\]+)\\$", 1)
+    joined = df.withColumn("__key", key).join(
+        F.broadcast(units.select(F.col("key").alias("__key"), "unit")), "__key", "left"
+    )
+    is_numeric = F.col(meta_col).rlike("Integer|Float|PosFloat")
+    spliced = F.regexp_replace(
+        F.col(meta_col),
+        "<NormalUnits></NormalUnits>",
+        F.concat(
+            F.lit("<NormalUnits>"),
+            F.coalesce(F.col("unit"), F.lit(default)),
+            F.lit("</NormalUnits>"),
+        ),
+    )
+    return (
+        joined.withColumn(meta_col, F.when(is_numeric, spliced).otherwise(F.col(meta_col)))
+        .drop("__key", "unit")
+    )
+
+
+def relocate_values(
+    df: DataFrame,
+    group_keys: list[str],
+    source_pred: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """I4 — within each group, copy the value columns from the single
+    'value-carrier' row (rows matching ``source_pred``) onto every other
+    row, then drop the carrier — groupBy().applyInPandas per-group rewrite
+    (merge_datafields.py:9-68, C9). At scale the group key is
+    (patient, concept, instance)-like: high cardinality, well-distributed,
+    so the shuffle is balanced.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    marked = df.withColumn("__is_src", F.expr(source_pred))
+
+    def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf[pdf["__is_src"]]
+        rest = pdf[~pdf["__is_src"]].copy()
+        if len(src) > 0:
+            for c in value_cols:
+                v = src.iloc[0][c]
+                if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                    rest[c] = v
+        return rest.drop(columns=["__is_src"])
+
+    return marked.groupBy(*group_keys).applyInPandas(rewrite, schema=out_schema)

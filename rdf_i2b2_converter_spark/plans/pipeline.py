@@ -71,11 +71,12 @@ def build_triples(
     texted = pages.withColumn(
         "text", F.coalesce(F.col("text"), extract_text(F.col("html")))
     )
-    mentions = detect_mentions(texted, gazetteer)
-    linked = link_mentions(mentions, gazetteer, texted.select("url", "lang", "warc_ts"))
-    linked = linked.join(
-        F.broadcast(texted.select("url", "warc_ts").distinct()), "url", "left"
-    ) if "warc_ts" not in linked.columns else linked
+    # lang/warc_ts ride through the matcher map-side (passthrough) — a
+    # re-join of mentions to pages on url would need either a shuffle of
+    # the full page set or a driver-built broadcast of it; both are the
+    # kind of hidden serial cost that caps scaling.
+    mentions = detect_mentions(texted, gazetteer, passthrough_cols=("lang", "warc_ts"))
+    linked = link_mentions(mentions, gazetteer)
     mapping = connected_components(alias_edges) if alias_edges is not None else None
     # dedup=False: link_mentions output is unique per (url, surface), so the
     # exploded triples are distinct by construction — no dedup shuffle.

@@ -37,21 +37,36 @@ def _union_find_components(edges: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def test_cc_matches_union_find(spark, corpus):
+def test_cc_matches_union_find_both_paths(spark, corpus):
     edges_df = corpus["alias_edges"]
-    got = {r["id"]: r["component"] for r in connected_components(edges_df).collect()}
     exp = _union_find_components([(r["src_id"], r["dst_id"]) for r in edges_df.collect()])
-    assert got == exp
+    # driver fast path (default for small graphs)
+    got_d = {r["id"]: r["component"] for r in connected_components(edges_df).collect()}
+    assert got_d == exp
+    # distributed large-star/small-star path (forced)
+    got_s = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df, driver_threshold=0).collect()
+    }
+    assert got_s == exp
 
 
-def test_cc_long_chain(spark):
+def test_cc_long_chain_distributed(spark):
     """Path graph of 40 nodes — worst case for naive propagation; the
     star algorithm must converge within max_rounds (O(log n))."""
     edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)]
     df = spark.createDataFrame(edges, schema=schemas.ALIAS_EDGES)
-    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
     assert set(got.values()) == {"n00"}
     assert len(got) == 40
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], schemas.ALIAS_EDGES)
+    assert connected_components(df).count() == 0
 
 
 def test_apply_canonical_left_semantics(spark):

@@ -1,0 +1,29 @@
+"""The spark-submit CLI surface: synth -> pipeline -> ontology."""
+
+import json
+
+from rdf_i2b2_converter_spark.cli import main
+
+
+def test_cli_synth_pipeline_ontology(spark, tmp_path, capsys):
+    data = str(tmp_path / "data")
+    assert main(["synth", "--n-docs", "80", "--partitions", "4", "--out", data]) == 0
+    assert (
+        main(
+            [
+                "pipeline",
+                "--pages", f"{data}/pages",
+                "--gazetteer", f"{data}/gazetteer",
+                "--ontology", f"{data}/ontology",
+                "--alias-edges", f"{data}/alias_edges",
+                "--out", str(tmp_path / "triples"),
+                "--parts", "4",
+            ]
+        )
+        == 0
+    )
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_triples"] > 0 and metrics["n_integrity_violations"] == 0
+
+    assert main(["ontology", "--ontology", f"{data}/ontology", "--out", str(tmp_path / "star")]) == 0
+    assert spark.read.parquet(str(tmp_path / "star/metadata")).count() > 0
