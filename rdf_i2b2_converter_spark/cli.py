@@ -59,6 +59,29 @@ def cmd_pipeline(args) -> int:
     return 0 if metrics.n_integrity_violations == 0 else 2
 
 
+def cmd_data(args) -> int:
+    """src/main_data.py analog: instance triples (N-Triples or parquet) ->
+    OBSERVATION_FACT-style rows, postprod reindex included."""
+    from .operators.postprod import reindex
+    from .plans.data_pipeline import extract_observations
+    from .sources.rdf import read_ntriples
+
+    spark = _spark(args)
+    if args.triples.endswith(".nt") or args.format == "ntriples":
+        triples = read_ntriples(spark, args.triples)
+    else:
+        triples = spark.read.parquet(args.triples)
+    obs = extract_observations(triples, args.entry_class)
+    if not args.no_reindex:
+        obs, patient_map = reindex(obs, "patient_num")
+        obs, encounter_map = reindex(obs, "encounter_num")
+        patient_map.write.mode("overwrite").parquet(f"{args.out}/patient_mapping")
+        encounter_map.write.mode("overwrite").parquet(f"{args.out}/encounter_mapping")
+    obs.write.mode("overwrite").parquet(f"{args.out}/observation_fact")
+    print(json.dumps({"n_observations": spark.read.parquet(f"{args.out}/observation_fact").count()}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources import synthetic as syn
 
@@ -92,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--parts", type=int, default=64)
     pp.add_argument("--no-resume", action="store_true")
     pp.set_defaults(fn=cmd_pipeline)
+
+    pd_ = sub.add_parser("data", help="instance triples -> observation facts")
+    pd_.add_argument("--triples", required=True, help=".nt file/dir or parquet dir")
+    pd_.add_argument("--format", choices=["parquet", "ntriples"], default="parquet")
+    pd_.add_argument("--entry-class", action="append", required=True)
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--no-reindex", action="store_true")
+    pd_.set_defaults(fn=cmd_data)
 
     ps = sub.add_parser("synth", help="generate deterministic demo corpus")
     ps.add_argument("--n-docs", type=int, default=10000)
