@@ -942,6 +942,59 @@ def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text").select("doc_id", "simhash")
 
 
+_SCHEMA_TRIPLES = [
+    ("kg:hasCode", "rdfs:domain", "kg:Diagnosis"),
+    ("kg:hasCode", "rdfs:range", "snomed:Code"),
+    ("kg:hasMeasurement", "rdfs:domain", "kg:Diagnosis"),
+    ("kg:hasMeasurement", "rdfs:range", "kg:Measurement"),
+    ("kg:hasValue", "rdfs:domain", "kg:Measurement"),
+    ("kg:hasValue", "rdfs:range", "xsd:double"),
+    ("kg:hasFinding", "rdfs:domain", "kg:Diagnosis"),
+    ("kg:hasFinding", "rdfs:range", "snomed:Finding"),
+    ("kg:hasFinding", "rdfs:range", "snomed:Observation"),
+]
+
+
+def _g2_modifier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G4 — recursive property/range expansion with muting; rows-only
+    (iterative, not SQL-expressible)."""
+    from rdf_i2b2_converter_spark.operators.modifier_tree import build_modifier_tree
+
+    t = spark.createDataFrame(
+        [(s, p, o, None, None) for s, p, o in _SCHEMA_TRIPLES],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    return build_modifier_tree(t, ["kg:Diagnosis"]).orderBy("level", "uri")
+
+
+def _g8_observation_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/G8 — instance-tree DFS with context inheritance over an instance
+    graph synthesized from events: each event becomes a tiny observation
+    tree; rows-only (recursive applyInPandas, not SQL-expressible)."""
+    from rdf_i2b2_converter_spark.plans.data_pipeline import extract_observations
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    inst = F.concat(F.lit("i"), F.col("event_id"))
+    subj = F.concat(F.lit("s"), F.col("event_id"))
+    rows = (
+        ev.select(inst.alias("s"), F.lit("rdf:type").alias("p"), F.lit("kg:Event").alias("o"),
+                  F.lit(None).cast("string").alias("o_datatype"))
+        .unionByName(ev.select(inst.alias("s"), F.lit("kg:hasSubject").alias("p"),
+                               subj.alias("o"), F.lit(None).cast("string").alias("o_datatype")))
+        .unionByName(ev.select(subj.alias("s"), F.lit("rdf:type").alias("p"),
+                               F.lit("kg:SubjectPseudoIdentifier").alias("o"),
+                               F.lit(None).cast("string").alias("o_datatype")))
+        .unionByName(ev.select(subj.alias("s"), F.lit("kg:hasIdentifier").alias("p"),
+                               F.concat(F.lit("u"), F.col("user_id")).alias("o"),
+                               F.lit("xsd:string").alias("o_datatype")))
+        .unionByName(ev.select(inst.alias("s"), F.lit("kg:hasScore").alias("p"),
+                               F.col("value").cast("string").alias("o"),
+                               F.lit("xsd:double").alias("o_datatype")))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+    )
+    return extract_observations(rows, ["kg:Event"])
+
+
 def _g7_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over an alias graph derived
     from orders (o_custkey chains) — non-SQL-expressible iterative op."""
@@ -1015,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible)
         "t_simhash": _t_simhash,
         "g7_cc_canonical": _g7_cc_canonical,
+        "g2_modifier_tree": _g2_modifier_tree,
+        "g8_observation_facts": _g8_observation_facts,
     }
 
 
