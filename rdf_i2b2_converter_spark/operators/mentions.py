@@ -174,9 +174,14 @@ def link_mentions(
     ``pages`` is only needed when the mentions do not already carry a
     ``lang`` column (use detect_mentions(passthrough_cols=("lang",)) to
     avoid this join entirely).
-    """
-    from pyspark.sql import Window
 
+    Physical shape: argmax via ``min_by`` over an ordering struct, NOT a
+    row_number window — a hash aggregate gets map-side partial combine
+    (duplicate (url, surface) candidates collapse before the shuffle),
+    whereas a window must sort-shuffle every candidate row. At 10^12
+    mentions that is the difference between shuffling best-per-key and
+    shuffling everything.
+    """
     cand = mentions.join(F.broadcast(gazetteer), "surface")
     if "lang" not in cand.columns and pages is not None:
         cand = cand.join(F.broadcast(pages.select("url", "lang")), "url", "left")
@@ -186,11 +191,14 @@ def link_mentions(
         else F.lit(0.0)
     )
     cand = cand.withColumn("link_score", F.round(F.col("weight") + lang_prior, 4))
-    w = Window.partitionBy("url", "surface").orderBy(
-        F.col("link_score").desc(), F.col("canonical_id").asc()
+    payload_cols = [c for c in cand.columns if c not in ("url", "surface")]
+    # ordering: highest score, then smallest canonical_id (deterministic,
+    # SURVEY.md §7.4 #3) — struct comparison is lexicographic, so minimize
+    # (-score, canonical_id)
+    order = F.struct((-F.col("link_score")).alias("neg"), F.col("canonical_id").alias("cid"))
+    best = (
+        cand.groupBy("url", "surface")
+        .agg(F.min_by(F.struct(*payload_cols), order).alias("__best"))
+        .select("url", "surface", "__best.*")
     )
-    return (
-        cand.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "weight")
-    )
+    return best.drop("weight")
