@@ -62,6 +62,36 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs_per_sec = round(n_docs / timings["kg_type_triples"], 1)
     total = round(sum(timings.values()), 3)
+
+    # headline correctness metric (BASELINE: triple P/R >= 0.95 vs the
+    # reference-semantics oracle): engine triples vs the pure-Python oracle
+    # on the deterministic synthetic corpus
+    from rdf_i2b2_converter_spark.plans.pipeline import build_triples
+    from rdf_i2b2_converter_spark.sources import synthetic as syn
+
+    n_oracle_docs = 500
+    pages = syn.gen_pages(spark, n_oracle_docs, num_partitions=8)
+    tr = build_triples(pages, syn.gen_gazetteer(spark), None)
+    got_rows = (
+        tr.filter(F.col("pred") == "rdf:type")
+        .join(
+            tr.filter(F.col("pred") == "kg:surfaceForm").select(
+                F.col("subj"), F.col("obj").alias("surface")
+            ),
+            "subj",
+        )
+        .select("source_url", "surface")
+        .collect()
+    )
+    got = {(r["source_url"], r["surface"]) for r in got_rows}
+    exp = {
+        (url, s)
+        for url, counts in syn.oracle_mentions(n_oracle_docs).items()
+        for s in counts
+    }
+    tp = len(got & exp)
+    precision = round(tp / len(got), 4) if got else 0.0
+    recall = round(tp / len(exp), 4) if exp else 0.0
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -73,6 +103,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "triple_precision": precision,
+                "triple_recall": recall,
             }
         )
     )
