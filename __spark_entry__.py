@@ -931,6 +931,97 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _e5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + cumulative gap-count per user (30-min gap).
+    The window-composition pattern the streaming side uses via
+    session_window; here in batch with an explicit oracle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet carries TIMESTAMP_NTZ; go through timestamp (session TZ = UTC)
+    # to epoch seconds — matches duckdb's epoch() on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_E5_SQL = """
+WITH marked AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+def _t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality gate -> exact dedup ->
+    language histogram — the chained form of t_quality/t_exact_dedup/
+    t_langid as one Catalyst-fused plan."""
+    from rdf_i2b2_converter_spark.functions.text import lang_id, quality_score
+    from rdf_i2b2_converter_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(quality_score("text") >= 0.5)
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.select(lang_id("text").alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_T_CURATION_SQL = f"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT d.doc_id, d.text, t.t,
+         round(
+           (CASE WHEN length(d.text) > 0
+                 THEN length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')) / length(d.text)
+                 ELSE 0 END) * 0.4
+           + (CASE WHEN len(t.t) > 0
+                   THEN len(list_filter(t.t, x -> x IN ({", ".join("'" + w + "'" for w in _ALL_STOPWORDS)}))) / len(t.t)
+                   ELSE 0 END) * 0.3
+           + (CASE WHEN len(t.t) BETWEEN 10 AND 10000 THEN 1.0
+                   WHEN len(t.t) > 0 THEN 0.5 ELSE 0.0 END) * 0.3,
+         4) AS quality
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5(trim(regexp_replace(lower(text), '{_TOK}', ' ', 'g')))
+),
+pred AS (
+  SELECT CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+              WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM (
+    SELECT len(list_filter(t, x -> x IN ('the','and','of','to','in'))) AS c_en,
+           len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS c_de,
+           len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS c_fr,
+           len(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS c_es
+    FROM deduped dd JOIN toks tk ON dd.doc_id = tk.doc_id
+  )
+)
+SELECT pred_lang, count(*)::BIGINT AS n_docs FROM pred GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only checks (not SQL-expressible / engine-internal determinism)
 # --------------------------------------------------------------------------
@@ -1026,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_subtree": _g5_subtree,
         # windows / reindex (E1-E3, D2, D6)
         "e1_instance_numbering": _e1_instance_numbering,
+        "e5_sessionize": _e5_sessionize,
+        "t_curation_pipeline": _t_curation,
         "e2_dense_reindex": _e2_dense_reindex,
         "e3_row_ids": _e3_row_ids,
         "d2_dedup_first": _d2_dedup_first,
@@ -1081,6 +1174,8 @@ def oracle_sql() -> dict[str, str]:
         "g1_closure": _G1_CLOSURE_SQL,
         "g5_subtree": _G5_SUBTREE_SQL,
         "e1_instance_numbering": _E1_SQL,
+        "e5_sessionize": _E5_SQL,
+        "t_curation_pipeline": _T_CURATION_SQL,
         "e2_dense_reindex": _E2_SQL,
         "e3_row_ids": _E3_SQL,
         "d2_dedup_first": _D2_SQL,
