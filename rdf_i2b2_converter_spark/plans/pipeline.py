@@ -40,7 +40,6 @@ class PipelineMetrics:
     n_pages: int = 0
     n_extract_mismatches: int = 0
     n_mentions: int = 0
-    n_linked: int = 0
     n_triples: int = 0
     n_integrity_violations: int = 0
     elapsed_sec: float = 0.0
@@ -52,9 +51,11 @@ class PipelineMetrics:
 def verify_extraction(pages: DataFrame) -> DataFrame:
     """Recompute text from html and compare with the carried column —
     enforces the BASELINE per-row invariant (byte-identical text per url).
-    Returns rows that violate it (empty == pass)."""
+    Returns rows that violate it (empty == pass). Rows without html (text
+    delivered pre-extracted) are out of the invariant's scope."""
     return (
-        pages.withColumn("__re", extract_text(F.col("html")))
+        pages.filter(F.col("html").isNotNull())
+        .withColumn("__re", extract_text(F.col("html")))
         .filter(~F.col("__re").eqNullSafe(F.col("text")))
         .select("url")
     )
@@ -66,6 +67,7 @@ def build_triples(
     alias_edges: DataFrame | None = None,
     hash_fn: str = "xxhash64",
     n_parts: int = 64,
+    mention_counter=None,
 ) -> DataFrame:
     """The full logical plan, lazily composed (no actions)."""
     texted = pages.withColumn(
@@ -75,7 +77,10 @@ def build_triples(
     # re-join of mentions to pages on url would need either a shuffle of
     # the full page set or a driver-built broadcast of it; both are the
     # kind of hidden serial cost that caps scaling.
-    mentions = detect_mentions(texted, gazetteer, passthrough_cols=("lang", "warc_ts"))
+    mentions = detect_mentions(
+        texted, gazetteer, passthrough_cols=("lang", "warc_ts"),
+        counter=mention_counter,
+    )
     linked = link_mentions(mentions, gazetteer)
     mapping = connected_components(alias_edges) if alias_edges is not None else None
     # dedup=False: link_mentions output is unique per (url, surface), so the
@@ -99,7 +104,10 @@ def run_pipeline(
     """Execute the plan; if ``sink_dir`` is given, write partitioned parquet
     with an idempotent per-part ledger and dump metrics."""
     metrics = PipelineMetrics()
-    triples = build_triples(pages, gazetteer, alias_edges, hash_fn, n_parts)
+    mention_acc = spark.sparkContext.accumulator(0)
+    triples = build_triples(
+        pages, gazetteer, alias_edges, hash_fn, n_parts, mention_counter=mention_acc
+    )
 
     if sink_dir is None:
         metrics.n_triples = triples.count()
@@ -130,6 +138,9 @@ def run_pipeline(
     out = spark.read.parquet(os.path.join(sink_dir, "triples"))
     metrics.n_pages = pages.count()
     metrics.n_triples = out.count()
+    metrics.n_mentions = mention_acc.value  # 0 when all parts resumed
+    if "html" in pages.columns:
+        metrics.n_extract_mismatches = verify_extraction(pages).count()
     if ontology_closed is not None:
         metrics.n_integrity_violations = integrity_check(out, ontology_closed).count()
     metrics.elapsed_sec = time.time() - metrics.started_at

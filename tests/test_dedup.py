@@ -60,6 +60,32 @@ def test_jaccard_values(spark, docs):
     assert got[(0, 4)] == 0.0
 
 
+def test_lsh_recall_on_planted_near_dups(spark):
+    """Corpus-level recall: plant one near-duplicate (single-token edit) for
+    every original; MinHash-LSH (16 hashes, 8 bands) must recover >= 90% of
+    the planted pairs, and exact Jaccard verification must keep them."""
+    from rdf_i2b2_converter_spark.sources import synthetic as syn
+
+    originals = [(i, syn.gen_doc(i)["text"]) for i in range(100)]
+    planted = []
+    for i, text in originals:
+        toks = text.split(" ")
+        toks[len(toks) // 2] = "XEDITX"
+        planted.append((1000 + i, " ".join(toks)))
+    df = spark.createDataFrame(originals + planted, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, n_hashes=16, n_bands=8).collect()
+    }
+    want = {(i, 1000 + i) for i, _ in originals}
+    recall = len(pairs & want) / len(want)
+    assert recall >= 0.9, recall
+    verified = jaccard_pairs(
+        df, spark.createDataFrame(sorted(pairs & want), "id_a long, id_b long")
+    )
+    assert verified.filter("jaccard < 0.5").count() == 0
+
+
 def test_simhash_hamming_orders_similarity(spark, docs):
     sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
     df = spark.createDataFrame(
