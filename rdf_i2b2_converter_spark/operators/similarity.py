@@ -104,6 +104,82 @@ def ann_topk(
     return brute_force_topk(cand.drop("__sig"), query_vec, k, id_col, vec_col)
 
 
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF/LSH-style index: vectors written as parquet
+    PARTITIONED BY their hyperplane-signature bucket. A query then reads
+    only the partitions within the probe's hamming radius — partition
+    pruning does the candidate selection, no full scan, no recomputed
+    signatures. This is the disk layout a 10^9-vector corpus wants; the
+    in-memory ann_topk is the ad-hoc variant."""
+    sig = rh_signature(F.col(vec_col), dim, n_planes).alias("sig_bucket")
+    df.select(id_col, vec_col, sig).write.mode("overwrite").partitionBy(
+        "sig_bucket"
+    ).parquet(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump({"dim": dim, "n_planes": n_planes, "vec_col": vec_col, "id_col": id_col}, fh)
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized index: enumerate the signature buckets within
+    ``hamming_radius`` of the query's signature (a small driver-side set —
+    1 + n_planes buckets at radius 1), scan ONLY those partitions (pruned
+    at planning time via the partition-column filter), exact-rank the
+    survivors."""
+    import builtins
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ann_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta["dim"] != len(query_vec):
+            raise ValueError(
+                f"query dim {len(query_vec)} != index dim {meta['dim']}"
+            )
+        if meta["n_planes"] != n_planes:
+            raise ValueError(
+                f"n_planes {n_planes} != index n_planes {meta['n_planes']} "
+                "(signatures would not be comparable)"
+            )
+    dim = len(query_vec)
+    qsig = 0
+    for p in range(n_planes):
+        d = builtins.sum(q * h for q, h in zip(query_vec, _hyperplane(dim, p + 1)))
+        if d > 0:
+            qsig |= 1 << p
+    buckets = [qsig]
+    if hamming_radius >= 1:
+        buckets += [qsig ^ (1 << p) for p in range(n_planes)]
+    if hamming_radius >= 2:
+        buckets += [
+            qsig ^ (1 << a) ^ (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    cand = spark.read.parquet(path).filter(F.col("sig_bucket").isin(buckets))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 5,

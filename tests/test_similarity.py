@@ -44,6 +44,27 @@ def test_ann_recall_reasonable_and_subset_exact_ranked(spark, vectors):
     assert recall >= 0.3  # LSH with 8 planes on random gaussians is lossy but sane
 
 
+def test_ann_index_partition_pruned_probe(spark, vectors, tmp_path):
+    """Materialized index: query scans only hamming-radius buckets (pruned
+    partitions) and agrees with the in-memory ANN on the same radius."""
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    df, vecs = vectors
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(df, path, dim=16, n_planes=8)
+    q = vecs[5].astype("float64").tolist()
+    got = [r["vec_id"] for r in query_ann_index(spark, path, q, k=10, n_planes=8).collect()]
+    mem = [r["vec_id"] for r in ann_topk(df, q, k=10, n_planes=8).collect()]
+    assert got == mem
+    assert got[0] == 5
+    # pruning is real: the probe's plan reads a partition filter
+    plan = query_ann_index(spark, path, q, k=10, n_planes=8)._jdf.queryExecution().executedPlan().toString()
+    assert "sig_bucket" in plan
+
+
 def test_per_label_knn(spark, vectors):
     df, vecs = vectors
     out = pairwise_topk_per_label(df, k=3).collect()
