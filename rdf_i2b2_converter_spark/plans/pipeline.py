@@ -116,10 +116,12 @@ def run_pipeline(
 
     os.makedirs(sink_dir, exist_ok=True)
     ledger_path = os.path.join(sink_dir, "_ledger.json")
-    done: set[int] = set()
+    ledger: dict = {"completed_parts": [], "parts": {}}
     if resume and os.path.exists(ledger_path):
         with open(ledger_path) as fh:
-            done = set(json.load(fh)["completed_parts"])
+            ledger = json.load(fh)
+            ledger.setdefault("parts", {})
+    done: set[int] = set(ledger["completed_parts"])
 
     todo = [p for p in range(n_parts) if p not in done]
     if todo:
@@ -131,9 +133,28 @@ def run_pipeline(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(os.path.join(sink_dir, "triples"))
         )
+        # per-partition lineage: row count + write time per completed part
+        # (north_rule: per-partition lineage + counter metrics) — read back
+        # from the sink so the ledger records what is actually on disk
+        written = (
+            spark.read.parquet(os.path.join(sink_dir, "triples"))
+            .filter(F.col("part_id").isin(todo))
+            .groupBy("part_id")
+            .count()
+            .collect()
+        )
+        counts = {int(r["part_id"]): int(r["count"]) for r in written}
+        stamp = time.time()
+        for p in todo:
+            ledger["parts"][str(p)] = {
+                "n_triples": counts.get(p, 0),
+                "written_at": round(stamp, 2),
+                "n_source_pages": metrics.n_pages or None,
+            }
         done.update(todo)
+        ledger["completed_parts"] = sorted(done)
         with open(ledger_path, "w") as fh:
-            json.dump({"completed_parts": sorted(done)}, fh)
+            json.dump(ledger, fh)
 
     out = spark.read.parquet(os.path.join(sink_dir, "triples"))
     metrics.n_pages = pages.count()
