@@ -19,7 +19,15 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make it importable even when
+# this module is loaded by file path rather than from the repo cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
