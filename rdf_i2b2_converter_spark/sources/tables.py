@@ -33,6 +33,71 @@ def init_empty(spark: SparkSession, schema: T.StructType, path: str) -> None:
     spark.createDataFrame([], schema).write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl-style JSONL pages source: one JSON object per line with
+    (url, warc_ts, html_b64?, text, lang). Schema pinned (no inference pass
+    — at 100 TB a schema-inference scan is a full extra read); html arrives
+    base64 (JSON has no binary) and is decoded JVM-side."""
+    from pyspark.sql import functions as F
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html_b64", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    df = spark.read.schema(raw_schema).json(path)
+    # PERMISSIVE mode turns malformed lines into all-null rows; a page
+    # without a url is unusable — drop, don't crash (one bad line must not
+    # kill a 100 TB ingest)
+    return df.filter(F.col("url").isNotNull()).select(
+        "url",
+        "warc_ts",
+        F.unbase64(F.col("html_b64")).alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_bytes: int | None = None,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+) -> int:
+    """Size-targeted sink: estimate on-disk bytes from a row sample and
+    repartition so output files land near ``target_bytes``
+    (config.TARGET_PARTITION_BYTES, default 512 MB) — the knob that keeps a
+    100 TB sink at ~200k healthy files instead of millions of tiny ones or
+    a handful of unsplittable monsters. Returns the partition count used.
+
+    Estimation is deliberately cheap: one limit(sample)+count pass; parquet
+    encodes ~3-5x smaller than the in-memory pickle estimate, folded into
+    the factor below. Pathologically compressible data (constant columns)
+    overshoots the file count — the safe direction: more smaller files,
+    never unsplittable monsters.
+    """
+    import pickle
+
+    from ..config import TARGET_PARTITION_BYTES
+
+    target = target_bytes or TARGET_PARTITION_BYTES
+    n_rows = df.count()
+    if n_rows == 0:
+        df.write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(sample_rows).collect()
+    raw_row = max(1, len(pickle.dumps([tuple(r) for r in sample])) // max(1, len(sample)))
+    est_disk = int(n_rows * raw_row * 0.3)  # parquet encoding + compression factor
+    n_parts = max(1, (est_disk + target - 1) // target)
+    df.repartition(n_parts).write.mode(mode).parquet(path)
+    return n_parts
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32, sort_col: str | None = None
 ) -> None:
