@@ -41,7 +41,12 @@ def cmd_pipeline(args) -> int:
     from .plans.pipeline import run_pipeline
 
     spark = _spark(args)
-    pages = spark.read.parquet(args.pages)
+    if args.pages_format == "jsonl":
+        from .sources.tables import read_pages_jsonl
+
+        pages = read_pages_jsonl(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     gazetteer = spark.read.parquet(args.gazetteer)
     alias_edges = spark.read.parquet(args.alias_edges) if args.alias_edges else None
     closed = close_ontology(spark.read.parquet(args.ontology)) if args.ontology else None
@@ -108,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pp = sub.add_parser("pipeline", help="pages -> triples (resumable)")
     pp.add_argument("--pages", required=True)
+    pp.add_argument("--pages-format", choices=["parquet", "jsonl"], default="parquet")
     pp.add_argument("--gazetteer", required=True)
     pp.add_argument("--ontology", default=None)
     pp.add_argument("--alias-edges", default=None)

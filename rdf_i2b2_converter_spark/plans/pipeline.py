@@ -51,10 +51,11 @@ class PipelineMetrics:
 def verify_extraction(pages: DataFrame) -> DataFrame:
     """Recompute text from html and compare with the carried column —
     enforces the BASELINE per-row invariant (byte-identical text per url).
-    Returns rows that violate it (empty == pass). Rows without html (text
-    delivered pre-extracted) are out of the invariant's scope."""
+    Returns rows that violate it (empty == pass). Out of scope: rows
+    without html (text delivered pre-extracted) and rows without a carried
+    text (nothing to compare against — the pipeline fills text itself)."""
     return (
-        pages.filter(F.col("html").isNotNull())
+        pages.filter(F.col("html").isNotNull() & F.col("text").isNotNull())
         .withColumn("__re", extract_text(F.col("html")))
         .filter(~F.col("__re").eqNullSafe(F.col("text")))
         .select("url")
