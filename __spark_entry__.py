@@ -950,7 +950,8 @@ def _e5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
     sess = ev.withColumn("new_sess", gap).withColumn(
-        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -960,14 +961,17 @@ def _e5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E5_SQL = """
 WITH marked AS (
+  -- floor(epoch(ts)) pins the whole-second contract: duckdb epoch() keeps
+  -- fractional seconds while the Spark side truncates via cast('long')
   SELECT user_id, value, ts, event_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,

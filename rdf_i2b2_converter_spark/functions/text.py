@@ -117,17 +117,51 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def _let(value: Column, body) -> Column:
+    """HOF let-binding: evaluate ``value`` ONCE and bind it as a lambda
+    variable in ``body``. An expression referenced from several branches of
+    a when/greatest tree is otherwise re-evaluated per reference (Catalyst
+    has no general CSE across codegen branches); wrapping it in a
+    single-element transform makes every reference a cheap bound-variable
+    read."""
+    return F.transform(F.array(value), body)[0]
+
+
 def lang_id(text: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hit-counts, 'und' when all
-    zero; ties broken by fixed language order (en, de, fr, es)."""
+    zero; ties broken by fixed language order (en, de, fr, es).
+
+    Single tokenization pass: the per-language counts fold into ONE
+    aggregate over the token array (an array-of-N accumulator), and the
+    argmax reads the bound counts via :func:`_let` — the naive
+    greatest+when chain re-evaluated tokenization ~24x per row.
+    """
+    langs = list(STOPWORDS)  # insertion order = tie-break order
     toks = tokens(text)
-    counts = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
-    best = F.greatest(*counts.values())
-    expr = F.lit("und")
-    # reversed so that earlier langs win ties (last when() wins in a fold)
-    for lang in reversed(["en", "de", "fr", "es"]):
-        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+    # one pass over tokens; membership tests hit only the bound lambda vars
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.transform(
+            acc,
+            lambda a, i: a
+            + F.coalesce(
+                *[
+                    F.when((i == j) & t.isin(*STOPWORDS[lang]), 1)
+                    for j, lang in enumerate(langs)
+                ],
+                F.lit(0),
+            ),
+        ),
+    )
+    lang_lits = F.array(*[F.lit(lang) for lang in langs])
+    return _let(
+        counts,
+        lambda c: F.when(
+            F.array_max(c) > 0,
+            F.element_at(lang_lits, F.array_position(c, F.array_max(c)).cast("int")),
+        ).otherwise(F.lit("und")),
+    )
 
 
 def quality_score(text: Column | str) -> Column:

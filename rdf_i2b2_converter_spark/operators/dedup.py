@@ -10,23 +10,36 @@ shuffles on short keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import logging
+from functools import reduce
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalized_text, shingles, tokens
+from ..functions.text import _let, fingerprint, normalized_text, shingles, tokens
+
+_LOG = logging.getLogger(__name__)
 
 # ------------------------------------------------------------ exact dedup
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup on normalized text: keeps the smallest id
-    per fingerprint (deterministic, parallelism-independent)."""
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    per fingerprint (deterministic, parallelism-independent).
+
+    Physical shape: ``min_by`` over the full-row struct, NOT a row_number
+    window — a hash aggregate gets map-side partial combine (duplicate rows
+    collapse inside each map task before the exchange), whereas a window
+    must sort-shuffle every row within each fingerprint partition. Same
+    argmin pattern as mentions.link_mentions; at 10^12 rows it is the
+    difference between shuffling one row per distinct document and
+    shuffling the whole corpus."""
+    cols = df.columns
     return (
         df.withColumn("__fp", fingerprint(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__first"))
+        .select("__first.*")
     )
 
 
@@ -59,13 +72,22 @@ def lsh_candidate_pairs(
     k: int = 3,
     n_hashes: int = 16,
     n_bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, self-join on
     (band_id, band_hash) buckets, emit id pairs (a < b).
 
     Scale: the self-join shuffles only (band_key, id) — never text. Skewed
     buckets (boilerplate pages) are split by AQE skew-join; add salting via
-    canonicalize.salt_keys if a single band key dominates."""
+    canonicalize.salt_keys if a single band key dominates.
+
+    ``max_bucket_size``: giant-bucket cap. A degenerate band bucket with n
+    members (boilerplate/empty pages all hashing alike) emits n^2 candidate
+    pairs BEFORE any verify stage — AQE can redistribute those pairs but
+    cannot stop them existing. Buckets above the cap are dropped entirely
+    (standard LSH practice: a bucket that large is boilerplate, not a
+    near-dup signal; members still pair through their other bands when
+    genuinely similar) and the clip is logged. None disables the cap."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, text_col, k, n_hashes).select(id_col, "minhash")
     # materialize before the self-join: joining on COMPUTED columns makes
@@ -90,6 +112,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("__n"))
+        big = sizes.filter(F.col("__n") > max_bucket_size).localCheckpoint(eager=True)
+        n_clipped = big.count()
+        if n_clipped:
+            stats = big.agg(F.sum("__n").alias("rows"), F.max("__n").alias("worst")).collect()[0]
+            _LOG.warning(
+                "lsh_candidate_pairs: dropped %d bucket(s) over cap %d "
+                "(%d member rows, largest %d) — would have emitted O(n^2) pairs",
+                n_clipped, max_bucket_size, stats["rows"], stats["worst"],
+            )
+            # no forced broadcast: the clipped-bucket set is normally tiny
+            # (<= n_rows/cap by construction) and AQE broadcasts it anyway,
+            # but a pathological corpus could make it large
+            bands = bands.join(
+                big.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti"
+            )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -106,26 +145,58 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over tokens: sum per-bit +-1 votes of xxhash64(token),
-    sign -> bit. Pure array/bit expressions (aggregate over the token
-    array); near-dup docs differ in few bits (hamming distance)."""
+def simhash64(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash over tokens: sum per-bit +-1 votes of a 64-bit token
+    hash, sign -> bit. Near-dup docs differ in few bits (hamming distance).
+
+    Single-pass expression: ONE ``aggregate`` over the token-hash array
+    carries an array-of-64 vote accumulator (the inner ``transform`` lambda
+    only bit-tests the bound lambda variable ``h`` — cheap), then one fold
+    packs the sign bits into a long. The naive form — 64 independent
+    aggregates — re-derives the token/hash arrays per bit: O(64 * n_tokens)
+    tokenizations per row and a giant codegen tree.
+
+    ``hash_fn``: 'xxhash64' (default, cheapest) or 'md5' (first 16 hex
+    chars of md5 parsed as a 64-bit value — the DuckDB-parity choice for
+    the driver oracle, same convention as minhash_signature/mint_uri).
+    """
     toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1),
-        )
-        for i in range(64)
-    ]
-    sim = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        sim = sim + F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    if hash_fn == "xxhash64":
+        h64 = lambda t: F.xxhash64(t)  # noqa: E731
+    elif hash_fn == "md5":
+        # two 32-bit halves via conv (conv parses hex to a decimal string;
+        # 8 hex chars always fit a long) packed with a bitwise shift
+        def h64(t):
+            m = F.md5(t)
+            hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    hashes = F.transform(toks, h64)
+    # one pass over tokens, array-of-64 vote accumulator; getbit reads the
+    # bound lambda variable h (cheap) — vote = bit*2-1 = +-1
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(acc, lambda a, i: a + F.getbit(h, i) * 2 - 1),
+    )
+    # pack sign bits into a long; _let binds the votes array once so the 64
+    # element reads don't re-run the aggregate
+    sim = _let(
+        votes,
+        lambda v: reduce(
+            lambda x, y: x.bitwiseOR(y),
+            [
+                F.when(v[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(64)
+            ],
+        ),
+    )
     return df.withColumn(out_col, sim)
 
 

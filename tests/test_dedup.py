@@ -97,3 +97,56 @@ def test_simhash_hamming_orders_similarity(spark, docs):
     row = df.collect()[0]
     assert sims[0] == sims[1]  # identical text
     assert row["near"] < row["far"]
+
+
+def test_exact_dedup_plan_partial_aggregate(spark, docs):
+    """VERDICT round-1: the dedup must be a hash aggregate with map-side
+    partial combine (partial_min_by before the exchange), not a window
+    sort-shuffle of every row."""
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial aggregate appears below the exchange: HashAggregate ... partial_min_by
+    assert "partial_min_by" in plan, plan
+
+
+def test_simhash_md5_variant_matches_bit_convention(spark):
+    """hash_fn='md5' packs the first 16 md5 hex chars as hi/lo 32-bit halves;
+    verified against a pure-Python reimplementation."""
+    import hashlib
+    import re
+
+    texts = ["spark join hash", "the quick brown fox", "und das ist gut"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df, hash_fn="md5").collect()}
+
+    def py_simhash(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sim = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sim |= 1 << i
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    for i, text in enumerate(texts):
+        assert got[i] == py_simhash(text), (i, got[i], py_simhash(text))
+
+
+def test_lsh_giant_bucket_cap_prevents_pair_blowup(spark):
+    """A degenerate corpus (1k identical boilerplate docs) would emit ~500k
+    candidate pairs; the bucket cap drops the degenerate buckets instead.
+    Distinct docs sharing no band with the boilerplate are unaffected."""
+    boiler = [(i, "all rights reserved copyright page footer text") for i in range(1000)]
+    real = [(2000, "spark shuffles partition data by key"), (2001, "spark shuffles partition data by key column")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(df, n_hashes=8, n_bands=4, max_bucket_size=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a >= 2000 and b >= 2000 for a, b in got), sorted(got)[:5]
+    assert (2000, 2001) in got
+    # uncapped on the same corpus really is the n^2 blowup the cap prevents
+    uncapped = lsh_candidate_pairs(df, n_hashes=8, n_bands=4, max_bucket_size=None)
+    assert uncapped.count() >= 1000 * 999 // 2
