@@ -1035,14 +1035,45 @@ SELECT pred_lang, count(*)::BIGINT AS n_docs FROM pred GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# rows-only checks (not SQL-expressible / engine-internal determinism)
+# formerly rows-only checks, now oracle-backed (VERDICT r1 item 2)
 # --------------------------------------------------------------------------
 
 def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (md5 token-hash variant for DuckDB parity, same convention
+    as t_minhash); the 64-bit value is split into two non-negative 32-bit
+    halves so neither side trips signed/unsigned casts."""
     from rdf_i2b2_converter_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash64(docs, "text").select("doc_id", "simhash")
+    sim = simhash64(docs, "text", hash_fn="md5")
+    return sim.select(
+        "doc_id",
+        F.shiftrightunsigned(F.col("simhash"), 32).alias("sim_hi"),
+        F.col("simhash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("sim_lo"),
+    )
+
+
+_T_SIMHASH_SQL = f"""
+WITH {_TOKS_CTE},
+h AS (
+  SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS hs
+  FROM toks WHERE doc_id < 200
+),
+v AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+             i -> 2 * len(list_filter(hs, hh -> (hh >> i) & 1 = 1)) - len(hs)) AS votes
+  FROM h
+)
+SELECT doc_id,
+       list_sum(list_transform(range(32, 64),
+           i -> CASE WHEN votes[i+1] > 0 THEN (1::UBIGINT << (i-32)) ELSE 0::UBIGINT END
+       ))::BIGINT AS sim_hi,
+       list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN votes[i+1] > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END
+       ))::BIGINT AS sim_lo
+FROM v
+"""
 
 
 _SCHEMA_TRIPLES = [
@@ -1055,19 +1086,61 @@ _SCHEMA_TRIPLES = [
     ("kg:hasFinding", "rdfs:domain", "kg:Diagnosis"),
     ("kg:hasFinding", "rdfs:range", "snomed:Finding"),
     ("kg:hasFinding", "rdfs:range", "snomed:Observation"),
+    # mixed range list: 2 snomed ranges are muted leaves, the plain concept
+    # still expands (sort_silent_ranges, src/rdfwrappers.py:236-276)
+    ("kg:hasFinding", "rdfs:range", "kg:ClinicalNote"),
 ]
 
 
 def _g2_modifier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2/G4 — recursive property/range expansion with muting; rows-only
-    (iterative, not SQL-expressible)."""
+    """G2/G4 — recursive property/range expansion with per-(prop,range)
+    terminology muting, oracle-checked against a recursive-CTE mirror of
+    digin_ranges (src/rdfwrappers.py:209-234)."""
     from rdf_i2b2_converter_spark.operators.modifier_tree import build_modifier_tree
 
     t = spark.createDataFrame(
         [(s, p, o, None, None) for s, p, o in _SCHEMA_TRIPLES],
         "s string, p string, o string, o_datatype string, o_lang string",
     )
-    return build_modifier_tree(t, ["kg:Diagnosis"]).orderBy("level", "uri")
+    tree = build_modifier_tree(t, ["kg:Diagnosis"])
+    return tree.select(
+        "uri", "kind", F.col("level").cast("long").alias("level"),
+        "path", "code", "parent_code", "parent_uri",
+    )
+
+
+_G2_TRIPLE_VALUES = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _SCHEMA_TRIPLES)
+
+# recursive-CTE mirror of the alternating concept->property->range expansion:
+# one unified step-edge table so the recursion has a single recursive branch;
+# UNION dedups rows, so the fixpoint terminates at the fixture's tree depth
+_G2_MODIFIER_SQL = f"""
+WITH RECURSIVE trip(s, p, o) AS (VALUES {_G2_TRIPLE_VALUES}),
+step AS (
+  SELECT 'concept' AS pkind, o AS parent, s AS child, 'modifier' AS ckind, FALSE AS is_xsd
+  FROM trip WHERE p = 'rdfs:domain'
+  UNION ALL
+  SELECT 'modifier', s, o,
+         CASE WHEN o LIKE 'xsd:%' THEN 'value_leaf'
+              WHEN split_part(o, ':', 1) IN ('snomed', 'loinc') THEN 'leaf'
+              ELSE 'concept' END,
+         o LIKE 'xsd:%'
+  FROM trip WHERE p = 'rdfs:range'
+),
+tree(uri, kind, level, path, code, parent_code, parent_uri) AS (
+  SELECT 'kg:Diagnosis', 'concept', 0::BIGINT,
+         '\\' || regexp_extract('kg:Diagnosis', '[^:]*$') || '\\',
+         substr(sha256('kg:Diagnosis' || '\\'), 1, 50), NULL::VARCHAR, NULL::VARCHAR
+  UNION
+  SELECT s.child, s.ckind, t.level + 1,
+         t.path || regexp_extract(s.child, '[^:]*$') || '\\',
+         CASE WHEN s.is_xsd THEN t.code
+              ELSE substr(sha256(t.code || s.child || '\\'), 1, 50) END,
+         t.code, t.uri
+  FROM tree t JOIN step s ON s.pkind = t.kind AND s.parent = t.uri
+)
+SELECT uri, kind, level, path, code, parent_code, parent_uri FROM tree
+"""
 
 
 def _g8_observation_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,7 +1168,44 @@ def _g8_observation_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("xsd:double").alias("o_datatype")))
         .withColumn("o_lang", F.lit(None).cast("string"))
     )
-    return extract_observations(rows, ["kg:Event"])
+    obs = extract_observations(rows, ["kg:Event"])
+    return obs.withColumn("instance_num", F.col("instance_num").cast("long"))
+
+
+# joins + sha256 chains mirroring the depth-2 instance DFS: per event the
+# concept row ('@') plus the kg:hasScore literal row under the chained code
+# (explore_obstree, src/data_loader.py:236-293); instances missing the
+# mandatory patient context emit nothing (B7 gate, :305-318)
+_G8_OBS_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE event_id < 500 AND user_id IS NOT NULL
+),
+c0 AS (SELECT substr(sha256('kg:Event' || '\\'), 1, 50) AS code),
+nums AS (
+  SELECT event_id,
+         row_number() OVER (ORDER BY 'i' || event_id)::BIGINT AS instance_num
+  FROM ev
+),
+base AS (
+  SELECT e.*, n.instance_num, c0.code AS concept
+  FROM ev e JOIN nums n USING (event_id), c0
+)
+SELECT 'i' || event_id AS instance_uri, 'kg:Event' AS class_uri,
+       concept AS concept_cd, '@' AS modifier_cd,
+       NULL::VARCHAR AS valtype_cd, NULL::VARCHAR AS tval_char,
+       NULL::DOUBLE AS nval_num, 'u' || user_id AS patient_num,
+       NULL::VARCHAR AS encounter_num, NULL::VARCHAR AS start_date,
+       NULL::VARCHAR AS units_cd, instance_num
+FROM base
+UNION ALL
+SELECT 'i' || event_id, 'kg:Event', concept,
+       substr(sha256(concept || 'kg:hasScore' || '\\'), 1, 50),
+       CASE WHEN value IS NOT NULL THEN 'N' END,
+       CASE WHEN value IS NOT NULL THEN 'E' END,
+       value, 'u' || user_id, NULL, NULL, NULL, instance_num
+FROM base
+"""
 
 
 def _g7_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,6 +1220,24 @@ def _g7_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("b"), (F.col("o_custkey") % 50)).alias("dst_id"),
     ).distinct()
     return connected_components(edges)
+
+
+# independent CC oracle: recursive-CTE reachability (UNION dedups rows so
+# the recursion converges), component = lexicographic min of the reach set —
+# the same contract connected_components documents
+_G7_CC_SQL = """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey <= 2000
+),
+edges AS (SELECT 'c' || k AS u, 'b' || (k % 50) AS v FROM ks),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(n, m) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+)
+SELECT n AS id, min(m) AS component FROM reach GROUP BY n
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1222,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "s_ann_topk": _S_ANN_SQL,
         "s_knn_per_label": _S_KNN_SQL,
         "j_windowed_counts": _J_WINDOW_SQL,
-        # t_simhash, g7_cc_canonical: rows-only (xxhash64 / iterative CC
-        # not expressible in DuckDB SQL)
+        "t_simhash": _T_SIMHASH_SQL,
+        "g7_cc_canonical": _G7_CC_SQL,
+        "g2_modifier_tree": _G2_MODIFIER_SQL,
+        "g8_observation_facts": _G8_OBS_SQL,
     }

@@ -63,15 +63,21 @@ def build_modifier_tree(
     props = domain_properties(triples).localCheckpoint(eager=True)  # (prop, domain_class)
     ranges = property_ranges(triples).localCheckpoint(eager=True)   # (prop, range_class)
 
-    # G3 muting: a property with >1 range in the SAME terminology does not
-    # expand those ranges (ChildfreeConcept) — compute once per property.
+    # G3 muting per (prop, range) PAIR: only the same-terminology sibling
+    # ranges are muted (sort_silent_ranges, src/rdfwrappers.py:236-276) —
+    # a mixed range list (2 snomed + 1 plain concept) still expands the
+    # plain concept. A per-prop flag here would wrongly leaf ALL ranges.
     rng_term = ranges.withColumn("term", _term_of(F.col("range_class"), terminology_prefixes))
-    muted_props = (
+    muted_terms = (
         rng_term.filter(F.col("term").isNotNull())
         .groupBy("prop", "term")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
-        .select("prop")
+        .select("prop", "term")
+    )
+    muted_pairs = (
+        rng_term.join(muted_terms, ["prop", "term"])
+        .select("prop", "range_class")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -112,9 +118,12 @@ def build_modifier_tree(
         expanded = (
             mods.alias("m")
             .join(F.broadcast(ranges).alias("r"), F.col("m.uri") == F.col("r.prop"))
-            .join(F.broadcast(muted_props.withColumnRenamed("prop", "__muted_uri")
+            .join(F.broadcast(muted_pairs
+                              .withColumnRenamed("prop", "__muted_uri")
+                              .withColumnRenamed("range_class", "__muted_rng")
                               .withColumn("__muted", F.lit(True))),
-                  F.col("m.uri") == F.col("__muted_uri"), "left")
+                  (F.col("m.uri") == F.col("__muted_uri"))
+                  & (F.col("r.range_class") == F.col("__muted_rng")), "left")
             .select(
                 F.col("r.range_class").alias("rng"),
                 F.col("m.level").alias("mlevel"),

@@ -98,3 +98,23 @@ def test_fact_codes_subset_of_tree(spark, tree):
     # and the concept codes match the level-0 tree code
     root_code = tree.filter("level = 0").collect()[0]["code"]
     assert {r["concept_cd"] for r in obs.collect()} == {root_code}
+
+
+def test_mixed_range_list_expands_plain_concept(spark):
+    """ADVICE r1: muting is per (prop, range) pair — a property with 2
+    snomed ranges AND a plain concept range mutes only the snomed siblings
+    (sort_silent_ranges, src/rdfwrappers.py:236-276); the plain concept
+    still expands into its own properties."""
+    rows = SCHEMA_TRIPLES + [
+        ("kg:hasFinding", "rdfs:range", "kg:ClinicalNote", None),
+        ("kg:hasText", "rdfs:domain", "kg:ClinicalNote", None),
+        ("kg:hasText", "rdfs:range", "xsd:string", None),
+    ]
+    tree = build_modifier_tree(_df(spark, rows), ["kg:Diagnosis"])
+    kinds = {(r["uri"], r["level"]): r["kind"] for r in tree.collect()}
+    assert kinds[("snomed:Finding", 2)] == "leaf"
+    assert kinds[("snomed:Observation", 2)] == "leaf"
+    # the plain sibling is a concept and its property subtree exists
+    assert kinds[("kg:ClinicalNote", 2)] == "concept"
+    assert kinds[("kg:hasText", 3)] == "modifier"
+    assert kinds[("xsd:string", 4)] == "value_leaf"
