@@ -1240,6 +1240,96 @@ SELECT n AS id, min(m) AS component FROM reach GROUP BY n
 """
 
 
+def _a1_turtle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — Turtle source: synthesize a deterministic .ttl from the nation
+    table (prefixes, 'a', ';' predicate lists, typed/bare literals), parse
+    it with the engine's vectorized Turtle reader, return the triples."""
+    import os
+    import tempfile
+
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = ["@prefix ex: <http://ex.org/> ."]
+    for r in nat:
+        lines.append(
+            f'ex:n{r["n_nationkey"]} a ex:Nation ; '
+            f'ex:inRegion ex:r{r["n_regionkey"]} ; '
+            f'ex:name "{r["n_name"]}" ; '
+            f'ex:key {r["n_nationkey"]} .'
+        )
+    d = tempfile.mkdtemp(prefix="ttl_scan_")
+    path = os.path.join(d, "nations.ttl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return read_turtle(spark, path).select("s", "p", "o", "o_datatype")
+
+
+_A1_TURTLE_SQL = """
+WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation)
+SELECT 'http://ex.org/n' || k AS s,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'http://ex.org/Nation' AS o, NULL::VARCHAR AS o_datatype FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/inRegion', 'http://ex.org/r' || r, NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/name', nm, 'xsd:string' FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR, 'xsd:integer' FROM n
+"""
+
+
+def _c5_provider_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 star-schema path — the reference's 4-hop provider query feeding
+    PROVIDER_DIMENSION (src/starschema.py:65-116): provider instances from
+    the supplier table, a wildcard hop (duplicated for even keys to
+    exercise the SPARQL solution fan-out), code + identifier literals."""
+    from rdf_i2b2_converter_spark.plans.ontology_pipeline import (
+        gen_provider_dimension,
+        query_providers,
+    )
+
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.concat(F.lit("k"), F.col("s_suppkey"))
+    w = F.concat(F.lit("w"), F.col("s_suppkey"))
+    nullstr = F.lit(None).cast("string")
+
+    def part(s, p, o, dt):
+        return supp.select(s.alias("s"), F.lit(p).alias("p"), o.alias("o"), dt.alias("o_datatype"))
+
+    t = (
+        part(k, "rdf:type", F.lit("kg:Provider"), nullstr)
+        .unionByName(part(k, "kg:affiliatedWith", w, nullstr))
+        .unionByName(
+            supp.filter(F.col("s_suppkey") % 2 == 0).select(
+                k.alias("s"), F.lit("kg:managedBy").alias("p"), w.alias("o"), nullstr.alias("o_datatype")
+            )
+        )
+        .unionByName(
+            part(w, "kg:hasCode",
+                 F.concat(F.lit("\\Provider\\n"), F.col("s_nationkey"), F.lit("\\")),
+                 F.lit("xsd:string"))
+        )
+        .unionByName(part(w, "kg:hasIdentifier", F.concat(F.lit("prov"), F.col("s_suppkey")), F.lit("xsd:string")))
+        .withColumn("o_lang", nullstr)
+    )
+    return gen_provider_dimension(
+        query_providers(t, "kg:Provider", "kg:hasCode", "kg:hasIdentifier")
+    )
+
+
+_C5_PROVIDER_SQL = """
+WITH s AS (SELECT s_suppkey AS k, s_nationkey AS n FROM supplier),
+hops AS (
+  SELECT k FROM s
+  UNION ALL
+  SELECT k FROM s WHERE k % 2 = 0
+)
+SELECT '\\Provider\\n' || s.n || '\\' AS provider_path, 'prov' || s.k AS provider_id
+FROM s JOIN hops ON s.k = hops.k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the KG triple-emission pipeline over documents-as-pages at
     sf0.001 (mention detection -> linking -> minting -> distinct triples)."""
@@ -1248,6 +1338,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # sources (A1) + star schema (C5/B3/B4 composite)
+        "a1_turtle_scan": _a1_turtle_scan,
+        "c5_provider_dim": _c5_provider_dim,
         # KG pipeline (north_star semantics)
         "kg_mentions": _kg_mentions,
         "kg_type_triples": _kg_type_triples,
@@ -1308,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "a1_turtle_scan": _A1_TURTLE_SQL,
+        "c5_provider_dim": _C5_PROVIDER_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_type_triples": _KG_TYPE_TRIPLES_SQL,
         "kg_entity_counts": _KG_ENTITY_COUNTS_SQL,

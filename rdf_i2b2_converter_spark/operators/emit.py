@@ -154,7 +154,12 @@ def triples_to_ntriples(triples: DataFrame) -> DataFrame:
     """Render as N-Triples lines (the rdflib serialization analog,
     src/main_ontology.py flow) — pure string expressions, writable with
     ``df.write.text``."""
-    subj = F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+    def _res(c):  # standard _:blank nodes serialize bare, IRIs bracketed
+        return F.when(c.startswith("_:"), c).otherwise(
+            F.concat(F.lit("<"), c, F.lit(">"))
+        )
+
+    subj = _res(F.col("subj"))
     pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
     escaped = F.regexp_replace(F.col("obj"), r"\\", r"\\\\")
     escaped = F.regexp_replace(escaped, '"', r"\\\"")
@@ -167,8 +172,7 @@ def triples_to_ntriples(triples: DataFrame) -> DataFrame:
             F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
         ).otherwise(F.lit("")),
     )
-    iri_obj = F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
-    obj = F.when(F.col("obj_datatype").isNotNull(), lit_obj).otherwise(iri_obj)
+    obj = F.when(F.col("obj_datatype").isNotNull(), lit_obj).otherwise(_res(F.col("obj")))
     return triples.select(
         F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
     )

@@ -84,8 +84,11 @@ class TokenAhoCorasick:
                 yield surface, i - n + 1, i + 1
 
 
-# per-executor automaton cache keyed by id of the broadcast payload
-_AC_CACHE: dict[int, TokenAhoCorasick] = {}
+# per-executor automaton cache keyed by CONTENT (hash of the surface tuple):
+# id(bc.value) is unsafe — CPython reuses id() values after GC, so a
+# long-lived executor running jobs with two gazetteers could hit a stale
+# automaton for the wrong surface set
+_AC_CACHE: dict[tuple[int, int], TokenAhoCorasick] = {}
 
 
 def detect_mentions(
@@ -134,7 +137,7 @@ def detect_mentions(
     )
 
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(bc.value)
+        key = (len(bc.value), hash(tuple(bc.value)))
         ac = _AC_CACHE.get(key)
         if ac is None:
             ac = TokenAhoCorasick(bc.value)

@@ -48,6 +48,13 @@ def migrate_field(
         df.join(moves_df, F.col(path_col) == F.col("src_path"))
         .select("dst_path", F.col(value_col).alias("__moved"))
         .filter(F.col("__moved").isNotNull())
+        # one source value per destination: two moves targeting the same
+        # dst_path (or duplicate source rows) would otherwise fan out the
+        # left join below, duplicating destination rows — the reference
+        # moves exactly one value per destination row. Deterministic pick:
+        # the smallest value (min_by keeps the aggregate map-side).
+        .groupBy("dst_path")
+        .agg(F.min_by(F.col("__moved"), F.col("__moved")).alias("__moved"))
     )
     is_wild = F.col("dst_path").endswith("*")
     prefix = F.expr("substring(dst_path, 1, length(dst_path) - 1)")

@@ -85,6 +85,68 @@ def gen_table_access(metadata: DataFrame) -> DataFrame:
     )
 
 
+def query_providers(
+    triples: DataFrame,
+    provider_class: str = "kg:Provider",
+    code_pred: str = "kg:hasCode",
+    id_pred: str = "kg:hasIdentifier",
+) -> DataFrame:
+    """C5 — the reference's 4-hop provider SPARQL (query_providers,
+    src/starschema.py:65-92): ``?k rdf:type <Provider> . ?k ?_ ?s .
+    ?s <code_pred> ?c . ?s <id_pred> ?n`` -> (provider_path=c,
+    provider_id=n).
+
+    Three equi-joins of pushed-down slices of the one triples DataFrame;
+    the provider-instance side is broadcast (providers are a dimension,
+    facts are not). No DISTINCT — SPARQL solution-mapping semantics keep
+    the fan-out over the wildcard ``?_`` edge, exactly as the reference
+    materializes it into PROVIDER_DIMENSION rows."""
+    k = triples.filter((F.col("p") == "rdf:type") & (F.col("o") == provider_class)).select(
+        F.col("s").alias("__k")
+    )
+    edges = triples.filter(F.col("o_datatype").isNull()).select(
+        F.col("s").alias("__k"), F.col("o").alias("__s")
+    )
+    codes = triples.filter(F.col("p") == code_pred).select(
+        F.col("s").alias("__s"), F.col("o").alias("provider_path")
+    )
+    ids = triples.filter(F.col("p") == id_pred).select(
+        F.col("s").alias("__s"), F.col("o").alias("provider_id")
+    )
+    return (
+        edges.join(F.broadcast(k), "__k")
+        .join(codes, "__s")
+        .join(ids, "__s")
+        .select("provider_path", "provider_id")
+    )
+
+
+def gen_provider_dimension(providers: DataFrame) -> DataFrame:
+    """PROVIDER_DIMENSION projection (gen_provider_dim,
+    src/starschema.py:96-105)."""
+    from .. import schemas
+
+    return providers.select(*[f.name for f in schemas.PROVIDER_DIMENSION.fields])
+
+
+def init_star_schema(spark, providers: DataFrame | None = None) -> dict[str, DataFrame]:
+    """init_star_schema (src/starschema.py:107-116): the observation-side
+    dimension tables — header-only (empty, schema-pinned) visit/patient
+    dims and encounter/patient mappings, filled later by the postprod
+    reindex (E2/C8), plus the provider dimension when providers are given."""
+    from .. import schemas
+
+    out = {
+        "visit_dimension": spark.createDataFrame([], schemas.VISIT_DIMENSION),
+        "patient_dimension": spark.createDataFrame([], schemas.PATIENT_DIMENSION),
+        "encounter_mapping": spark.createDataFrame([], schemas.ENCOUNTER_MAPPING),
+        "patient_mapping": spark.createDataFrame([], schemas.PATIENT_MAPPING),
+    }
+    if providers is not None:
+        out["provider_dimension"] = gen_provider_dimension(providers)
+    return out
+
+
 def run_ontology_pipeline(ontology: DataFrame) -> dict[str, DataFrame]:
     """All four outputs from one closed hierarchy — the whole of
     main_ontology.py as a dict of lazily-composed DataFrames."""

@@ -143,3 +143,46 @@ ASSETS = T.StructType(
         ),
     ]
 )
+
+# ------------------------------------------------------- star-schema dims
+
+#: PROVIDER_DIMENSION (src/starschema.py:96-105): path + id per provider.
+PROVIDER_DIMENSION = T.StructType(
+    [
+        T.StructField("provider_path", T.StringType(), False),
+        T.StructField("provider_id", T.StringType(), False),
+    ]
+)
+
+#: Header-only dimension/mapping tables (init_* in src/starschema.py:36-62):
+#: written empty at pipeline init, filled by postprod reindex (E2/C8).
+VISIT_DIMENSION = T.StructType(
+    [
+        T.StructField("encounter_num", T.StringType(), True),
+        T.StructField("patient_num", T.StringType(), True),
+        T.StructField("start_date", T.StringType(), True),
+        T.StructField("end_date", T.StringType(), True),
+    ]
+)
+
+PATIENT_DIMENSION = T.StructType(
+    [
+        T.StructField("patient_num", T.StringType(), True),
+        T.StructField("birth_date", T.StringType(), True),
+        T.StructField("sex_cd", T.StringType(), True),
+    ]
+)
+
+ENCOUNTER_MAPPING = T.StructType(
+    [
+        T.StructField("encounter_ide", T.StringType(), True),
+        T.StructField("encounter_num", T.LongType(), True),
+    ]
+)
+
+PATIENT_MAPPING = T.StructType(
+    [
+        T.StructField("patient_ide", T.StringType(), True),
+        T.StructField("patient_num", T.LongType(), True),
+    ]
+)

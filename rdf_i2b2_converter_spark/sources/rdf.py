@@ -1,26 +1,40 @@
-"""RDF sources/sinks: N-Triples in and out of the triples DataFrame.
+"""RDF sources/sinks: N-Triples and a Turtle subset in and out of the
+triples DataFrame.
 
-Analog of the reference's GraphParser (src/utils.py:48-75), which loads
-Turtle files into an in-memory rdflib.Graph. We keep triples columnar:
-``spark.read.text`` + built-in regex expressions parse N-Triples lines into
-TRIPLES_RAW — JVM-side, whole-stage codegen, no Python in the loop — and
-partition-pruned terminology routing replaces the reference's per-prefix
+Analog of the reference's GraphParser (src/utils.py:48-75), which
+``guess_format``s and loads Turtle files into an in-memory rdflib.Graph.
+We keep triples columnar:
+
+- N-Triples: ``spark.read.text`` + built-in regex expressions — JVM-side,
+  whole-stage codegen, no Python in the loop. Standard ``_:name`` blank
+  nodes supported in subject and object position.
+- Turtle subset (:func:`read_turtle`): prefix directives are collected
+  driver-side (a prefix table is ontology-config-sized); statements are
+  parsed by a vectorized ``mapInPandas`` lexer — one statement per line,
+  with same-line ``;`` predicate-object lists and ``,`` object lists,
+  prefixed names, ``a``, typed/lang literals, bare numeric/boolean
+  literals, and ``_:`` blank nodes. Multiline statements, ``[]`` anonymous
+  bnodes and collections are out of scope — :func:`scan_turtle_errors`
+  surfaces what the subset rejects. This covers the reference's own corpus
+  shapes (SPHN ontology/data dumps are statement-per-line).
+
+Partition-pruned terminology routing replaces the reference's per-prefix
 side graphs (src/utils.py:148-153).
-
-Turtle's full grammar (prefixes, multiline literals) is out of scope for a
-line-oriented scan; convert Turtle to N-Triples offline or land triples as
-parquet. This matches the engine's columnar-first posture (SURVEY.md §1.1).
 """
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: One N-Triples statement:  <s> <p> (<iri> | "lit"(^^<dt> | @lang)?) .
+#: One N-Triples statement:
+#:   (<s> | _:b) <p> (<iri> | _:b | "lit"(^^<dt> | @lang)?) .
 _NT_RE = (
-    r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
-    r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?)\s*\.\s*$"
+    r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
+    r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?)\s*\.\s*$"
 )
 
 
@@ -29,30 +43,250 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
     Scales as a plain text scan: line-splittable, predicate pushdown on the
     regexp filter, no shuffle. Comment/blank lines are dropped, malformed
-    lines are surfaced via the companion :func:`scan_errors`."""
+    lines are surfaced via the companion :func:`scan_errors`. Blank nodes
+    (``_:name``) are carried verbatim as node ids."""
     lines = spark.read.text(path)
     parsed = lines.select(
-        F.regexp_extract("value", _NT_RE, 1).alias("s"),
-        F.regexp_extract("value", _NT_RE, 2).alias("p"),
-        F.regexp_extract("value", _NT_RE, 3).alias("o_iri"),
-        F.regexp_extract("value", _NT_RE, 4).alias("o_lit"),
-        F.regexp_extract("value", _NT_RE, 5).alias("o_dt"),
-        F.regexp_extract("value", _NT_RE, 6).alias("o_lang"),
+        F.regexp_extract("value", _NT_RE, 1).alias("s_iri"),
+        F.regexp_extract("value", _NT_RE, 2).alias("s_blank"),
+        F.regexp_extract("value", _NT_RE, 3).alias("p"),
+        F.regexp_extract("value", _NT_RE, 4).alias("o_iri"),
+        F.regexp_extract("value", _NT_RE, 5).alias("o_blank"),
+        F.regexp_extract("value", _NT_RE, 6).alias("o_lit"),
+        F.regexp_extract("value", _NT_RE, 7).alias("o_dt"),
+        F.regexp_extract("value", _NT_RE, 8).alias("o_lang"),
         F.col("value"),
     ).filter(F.col("value").rlike(_NT_RE))
     unescaped = (
         F.regexp_replace(F.regexp_replace(F.col("o_lit"), r'\\"', '"'), r"\\\\", r"\\")
     )
+    is_res = (F.col("o_iri") != "") | (F.col("o_blank") != "")
     return parsed.select(
-        F.col("s"),
+        F.when(F.col("s_iri") != "", F.col("s_iri")).otherwise(F.col("s_blank")).alias("s"),
         F.col("p"),
-        F.when(F.col("o_iri") != "", F.col("o_iri")).otherwise(unescaped).alias("o"),
-        F.when(F.col("o_iri") != "", F.lit(None).cast("string"))
+        F.when(F.col("o_iri") != "", F.col("o_iri"))
+        .when(F.col("o_blank") != "", F.col("o_blank"))
+        .otherwise(unescaped)
+        .alias("o"),
+        F.when(is_res, F.lit(None).cast("string"))
         .when(F.col("o_dt") != "", F.col("o_dt"))
         .otherwise(F.lit("xsd:string"))
         .alias("o_datatype"),
         F.when(F.col("o_lang") != "", F.col("o_lang")).otherwise(F.lit(None)).alias("o_lang"),
     )
+
+
+# --------------------------------------------------------------- Turtle
+
+#: ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>`` (p may be empty)
+_PREFIX_RE = re.compile(
+    r"^\s*(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*$", re.IGNORECASE
+)
+#: ``@base <iri> .`` — accepted and ignored (we do not resolve relative IRIs)
+_BASE_RE = re.compile(r"^\s*(?:@base|BASE)\s+<[^>]*>\s*\.?\s*$", re.IGNORECASE)
+
+#: Turtle-line lexer. Order matters: IRIs and literals first so '<', '"'
+#: runs never tokenize as pnames; 'a' only when delimited.
+_TTL_TOKEN_RE = re.compile(
+    r"""
+    (?P<iri><[^>]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*")
+  | (?P<dt>\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]+))
+  | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<blank>_:[\w.-]+)
+  | (?P<boolean>\b(?:true|false)\b)
+  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<a>\ba\b)
+  | (?P<pname>[A-Za-z][\w.-]*:[\w%/#.-]*)
+  | (?P<punct>[;,.])
+  | (?P<comment>\#.*)
+  | (?P<ws>\s+)
+  | (?P<bad>.)
+""",
+    re.VERBOSE,
+)
+
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _expand_pname(pname: str, prefixes: dict[str, str], expand: bool) -> str:
+    if not expand:
+        return pname
+    pfx, _, local = pname.partition(":")
+    base = prefixes.get(pfx)
+    return base + local if base is not None else pname
+
+
+def _parse_turtle_line(line: str, prefixes: dict[str, str], expand: bool):
+    """One Turtle statement line -> list of (s, p, o, o_datatype, o_lang).
+
+    Raises ValueError on anything outside the supported subset (the caller
+    decides whether to fail or route to the error scan)."""
+    toks: list[tuple[str, str]] = []
+    for m in _TTL_TOKEN_RE.finditer(line):
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "bad":
+            raise ValueError(f"unexpected character {m.group()!r}")
+        toks.append((kind, m.group()))
+    if not toks:
+        return []
+
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def term(allow_literal: bool):
+        nonlocal pos
+        kind, val = peek()
+        if kind == "iri":
+            pos += 1
+            return val[1:-1], None, None
+        if kind == "blank":
+            pos += 1
+            return val, None, None
+        if kind == "a":
+            pos += 1
+            return _expand_pname("rdf:type", {"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"} | prefixes, expand), None, None
+        if kind == "pname":
+            pos += 1
+            return _expand_pname(val, prefixes, expand), None, None
+        if not allow_literal:
+            raise ValueError(f"expected resource term, got {kind}={val!r}")
+        if kind == "literal":
+            pos += 1
+            text = val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            dkind, dval = peek()
+            if dkind == "dt":
+                pos += 1
+                dt = dval[2:]
+                dt = dt[1:-1] if dt.startswith("<") else _expand_pname(dt, prefixes, expand)
+                return text, dt, None
+            if dkind == "lang":
+                pos += 1
+                return text, "xsd:string", dval[1:]
+            return text, "xsd:string", None
+        if kind == "number":
+            pos += 1
+            dt = "xsd:integer" if re.fullmatch(r"[+-]?\d+", val) else (
+                "xsd:double" if ("e" in val or "E" in val) else "xsd:decimal"
+            )
+            return val, dt, None
+        if kind == "boolean":
+            pos += 1
+            return val, "xsd:boolean", None
+        raise ValueError(f"expected term, got {kind}={val!r}")
+
+    out = []
+    s, _, _ = term(allow_literal=False)
+    while True:
+        p, _, _ = term(allow_literal=False)
+        while True:
+            o, dt, lang = term(allow_literal=True)
+            out.append((s, p, o, dt, lang))
+            kind, val = peek()
+            if kind == "punct" and val == ",":
+                pos += 1
+                continue
+            break
+        kind, val = peek()
+        if kind == "punct" and val == ";":
+            pos += 1
+            # tolerate trailing ';' before '.'
+            if peek() == ("punct", "."):
+                pos += 1
+                break
+            continue
+        if kind == "punct" and val == ".":
+            pos += 1
+            break
+        raise ValueError(f"expected ';' ',' or '.', got {kind}={val!r}")
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens after '.': {toks[pos:]!r} (one statement per line)")
+    return out
+
+
+def turtle_prefixes(spark: SparkSession, path: str) -> dict[str, str]:
+    """Collect the prefix table driver-side: prefix directives are a
+    config-sized handful per corpus; a filtered text scan + collect is the
+    same small-side reasoning as a broadcast-join build side."""
+    rows = (
+        spark.read.text(path)
+        .filter(F.col("value").rlike(r"^\s*(@prefix|PREFIX)\s"))
+        .collect()
+    )
+    prefixes: dict[str, str] = {}
+    for r in rows:
+        m = _PREFIX_RE.match(r["value"])
+        if m:
+            prefixes[m.group(1) or ""] = m.group(2)
+    return prefixes
+
+
+def read_turtle(spark: SparkSession, path: str, expand_prefixes: bool = True) -> DataFrame:
+    """Turtle-subset file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang).
+
+    Two passes, both line-splittable: (1) driver-side prefix collection
+    (:func:`turtle_prefixes`), (2) vectorized ``mapInPandas`` statement
+    parsing with the broadcast prefix map — the ttl2nt converter shape
+    recommended for the reference's own .ttl corpora (GraphParser,
+    src/utils.py:48-75). Unparseable lines are skipped here and surfaced by
+    :func:`scan_turtle_errors` (fail-soft, same posture as read_ntriples).
+
+    ``expand_prefixes``: True resolves prefixed names to full IRIs
+    (rdflib-parity); False keeps the compact ``p:local`` form the engine's
+    configs use. Plain literals carry the 'xsd:string' sentinel datatype
+    either way (read_ntriples parity)."""
+    import pandas as pd
+
+    prefixes = turtle_prefixes(spark, path)
+    bc = spark.sparkContext.broadcast((prefixes, expand_prefixes))
+    lines = spark.read.text(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pfx, expand = bc.value
+        cols = ["s", "p", "o", "o_datatype", "o_lang"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for line in pdf["value"]:
+                if not line or _PREFIX_RE.match(line) or _BASE_RE.match(line):
+                    continue
+                try:
+                    rows.extend(_parse_turtle_line(line, pfx, expand))
+                except ValueError:
+                    continue  # surfaced by scan_turtle_errors
+            yield pd.DataFrame(rows, columns=cols)
+
+    return lines.mapInPandas(
+        parse, schema="s string, p string, o string, o_datatype string, o_lang string"
+    )
+
+
+def scan_turtle_errors(spark: SparkSession, path: str) -> DataFrame:
+    """Lines the Turtle subset cannot parse (multiline statements, '[]'
+    bnodes, collections) — report, don't crash the 100 TB ingest."""
+    import pandas as pd
+
+    prefixes = turtle_prefixes(spark, path)
+    bc = spark.sparkContext.broadcast(prefixes)
+    lines = spark.read.text(path)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pfx = bc.value
+        for pdf in batches:
+            bad: list[tuple[str, str]] = []
+            for line in pdf["value"]:
+                if not line or _PREFIX_RE.match(line) or _BASE_RE.match(line):
+                    continue
+                try:
+                    _parse_turtle_line(line, pfx, True)
+                except ValueError as e:
+                    bad.append((line, str(e)))
+            yield pd.DataFrame(bad, columns=["value", "error"])
+
+    return lines.mapInPandas(check, schema="value string, error string")
 
 
 def scan_errors(spark: SparkSession, path: str) -> DataFrame:

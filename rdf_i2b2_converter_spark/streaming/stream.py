@@ -3,9 +3,10 @@
 The reference is batch-only (SURVEY.md §2 J: append-mode CSV, restart-
 unsafe). A continuously-crawled corpus wants incremental triple emission:
 ``readStream`` over the pages location -> the SAME stateless extraction/
-mention/emission plan -> ``foreachBatch`` into the idempotent partitioned
-sink. Because subj URIs are deterministic (functions/ids.mint_uri), replays
-after failure rewrite identical rows — exactly-once by idempotency.
+mention/emission plan -> ``foreachBatch`` into an epoch-partitioned sink
+with dynamic partition OVERWRITE: a replayed micro-batch overwrites its own
+epoch partitions with identical rows (subj URIs are deterministic,
+functions/ids.mint_uri) — exactly-once by idempotent replay.
 
 A watermarked windowed aggregation is included as the monitoring analog of
 the reference's progress counters (src/data_loader.py:49-54).
@@ -55,9 +56,14 @@ def run_stream_to_sink(
     checkpoint_dir: str,
 ) -> None:
     """foreachBatch sink: each micro-batch (a STATIC DataFrame — windows
-    and joins allowed) runs the full batch linker+emitter and appends to
-    partitioned parquet. Deterministic subj + source-file-driven batches
-    give idempotent replays (north_rule resumability)."""
+    and joins allowed) runs the full batch linker+emitter and writes
+    parquet partitioned by (epoch_id, part_id) with DYNAMIC partition
+    overwrite — exactly-once by idempotent replay: a micro-batch replayed
+    after a failure between write and checkpoint commit OVERWRITES its own
+    epoch partitions with identical rows (deterministic subj URIs +
+    source-file-driven batch membership) instead of appending duplicates.
+    A plain mode('append') here would NOT be idempotent, deterministic rows
+    notwithstanding."""
     stream = read_pages_stream(spark, pages_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -67,9 +73,11 @@ def run_stream_to_sink(
         linked = link_mentions(mentions, gazetteer, batch_df.select("url", "lang"))
         triples = emit_triples(linked, dedup=False)
         (
-            triples.repartition("part_id")
-            .write.mode("append")
-            .partitionBy("part_id")
+            triples.withColumn("epoch_id", F.lit(epoch_id))
+            .repartition("part_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "part_id")
             .parquet(f"{sink_dir}/triples")
         )
 

@@ -62,3 +62,101 @@ def test_ntriples_roundtrip(spark, tmp_path):
         ("kg:e/1", "rdf:type", "kg:T", None),
         ("kg:e/1", "kg:name", "Ada Lovelace", "xsd:string"),
     }
+
+
+TTL = """@prefix sphn: <https://biomedit.ch/rdf/sphn-ontology/sphn#> .
+@prefix resource: <https://biomedit.ch/rdf/sphn-resource/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+# mirrors the reference's GraphParser corpus shapes (src/utils.py:48-75)
+resource:obs1 a sphn:Diagnosis .
+resource:obs1 sphn:hasCode resource:code1 ; sphn:hasComment "stable"@en .
+resource:obs1 sphn:hasValue "7.5"^^xsd:double, "8.1"^^xsd:double .
+resource:obs1 sphn:hasCount 42 .
+resource:obs1 sphn:hasRatio 0.5 .
+_:b1 sphn:memberOf resource:obs1 .
+resource:obs1 sphn:hasUnit _:b1 .
+<https://raw.example/x> sphn:hasLabel "plain" .
+"""
+
+
+def test_read_turtle_subset(spark, tmp_path):
+    f = tmp_path / "g.ttl"
+    f.write_text(TTL)
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    df = read_turtle(spark, str(f))
+    SPHN = "https://biomedit.ch/rdf/sphn-ontology/sphn#"
+    RES = "https://biomedit.ch/rdf/sphn-resource/"
+    rows = {(r["s"], r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in df.collect()}
+    assert (f"{RES}obs1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            f"{SPHN}Diagnosis", None, None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasCode", f"{RES}code1", None, None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasComment", "stable", "xsd:string", "en") in rows
+    # ',' object list -> two triples with the expanded xsd datatype
+    assert (f"{RES}obs1", f"{SPHN}hasValue", "7.5",
+            "http://www.w3.org/2001/XMLSchema#double", None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasValue", "8.1",
+            "http://www.w3.org/2001/XMLSchema#double", None) in rows
+    # bare numerics
+    assert (f"{RES}obs1", f"{SPHN}hasCount", "42", "xsd:integer", None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasRatio", "0.5", "xsd:decimal", None) in rows
+    # blank nodes both positions
+    assert ("_:b1", f"{SPHN}memberOf", f"{RES}obs1", None, None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasUnit", "_:b1", None, None) in rows
+    assert ("https://raw.example/x", f"{SPHN}hasLabel", "plain", "xsd:string", None) in rows
+    assert df.count() == 10
+    assert scan_turtle_errors(spark, str(f)).count() == 0
+
+
+def test_read_turtle_compact_mode_and_errors(spark, tmp_path):
+    f = tmp_path / "g2.ttl"
+    f.write_text(
+        "@prefix kg: <http://kg.example/> .\n"
+        "kg:a kg:p kg:b .\n"
+        "kg:a kg:p [ kg:inner kg:c ] .\n"          # [] bnode: out of subset
+        "kg:a kg:p\n"                                # multiline: out of subset
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    assert rows == {("kg:a", "kg:p", "kg:b")}
+    errs = scan_turtle_errors(spark, str(f))
+    assert errs.count() == 2
+
+
+def test_turtle_ntriples_equivalence(spark, tmp_path):
+    """The same graph written as Turtle and as N-Triples parses to the same
+    triple set — the guess_format parity check (src/utils.py:48-75)."""
+    ttl = tmp_path / "eq.ttl"
+    nt = tmp_path / "eq.nt"
+    ttl.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:a a ex:T ; ex:name \"Ada\" ; ex:knows _:b0 .\n"
+        "_:b0 ex:age \"36\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+    )
+    nt.write_text(
+        "<http://ex.org/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .\n"
+        '<http://ex.org/a> <http://ex.org/name> "Ada" .\n'
+        "<http://ex.org/a> <http://ex.org/knows> _:b0 .\n"
+        '_:b0 <http://ex.org/age> "36"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_ntriples, read_turtle
+
+    t = {tuple(r) for r in read_turtle(spark, str(ttl)).collect()}
+    n = {tuple(r) for r in read_ntriples(spark, str(nt)).collect()}
+    assert t == n
+
+
+def test_blank_node_ntriples_roundtrip(spark, tmp_path):
+    triples = spark.createDataFrame(
+        [
+            ("_:bn1", "kg:partOf", "kg:whole", None, None, 0),
+            ("kg:whole", "kg:hasPart", "_:bn1", None, None, 0),
+        ],
+        "subj string, pred string, obj string, obj_datatype string, source_url string, part_id int",
+    )
+    out = str(tmp_path / "bn_out")
+    write_ntriples(triples, out)
+    back = read_ntriples(spark, out)
+    got = {(r["s"], r["p"], r["o"]) for r in back.collect()}
+    assert got == {("_:bn1", "kg:partOf", "kg:whole"), ("kg:whole", "kg:hasPart", "_:bn1")}
