@@ -2,16 +2,28 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct (schemas.ASSETS). The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signatures — is real and tested; the actual media
-decode is STUBBED (this container ships no image/audio libs): decode_asset
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake feature vector derived from the bytes is produced so the
-distributed plumbing can be exercised end-to-end.
+Arrow batch shape, UDF signatures — is real and tested.
+
+Decode is REAL for two header-simple container formats that need only the
+stdlib: RIFF/WAV PCM audio (struct + array modules) and uncompressed
+24-bit BMP images — both produce an 8-float feature vector (layout below).
+Formats that genuinely require external codecs (JPEG/PNG/MP4/OGG...) stay
+STUBBED: decode_asset raises NotImplementedError unless ``fake=True``, in
+which case a deterministic sha256-derived vector keeps the distributed
+plumbing exercisable end-to-end.
+
+Feature layouts (always 8 doubles, so one Arrow schema serves all):
+- WAV:  [sample_rate, n_channels, bits, duration_ms, n_frames,
+         mean, rms, peak]  (amplitudes normalized to [-1, 1])
+- BMP:  [width, height, bpp, mean_r, mean_g, mean_b, mean_luma, n_pixels]
+        (channel means normalized to [0, 1])
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+from array import array
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,14 +38,96 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n)]
 
 
+def decode_wav(content: bytes) -> list[float]:
+    """RIFF/WAV PCM decode, stdlib-only: walk the chunk list, parse the
+    fmt chunk, read 8/16-bit integer PCM samples. Raises ValueError on
+    non-PCM or truncated input."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit integer PCM supported (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = array("h")
+        samples.frombytes(data[: len(data) - (len(data) % 2)])
+        norm = 32768.0
+        vals = samples
+    else:
+        vals = array("B")
+        vals.frombytes(data)
+        vals = array("d", ((v - 128) for v in vals))
+        norm = 128.0
+    n = len(vals)
+    n_frames = n // max(1, n_channels)
+    if n == 0:
+        mean = rms = peak = 0.0
+    else:
+        mean = sum(vals) / n / norm
+        rms = (sum(v * v for v in vals) / n) ** 0.5 / norm
+        peak = max(abs(min(vals)), abs(max(vals))) / norm
+    duration_ms = n_frames * 1000.0 / sample_rate if sample_rate else 0.0
+    return [float(sample_rate), float(n_channels), float(bits),
+            duration_ms, float(n_frames), mean, rms, peak]
+
+
+def decode_bmp(content: bytes) -> list[float]:
+    """Uncompressed 24-bit BMP decode, stdlib-only: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, BGR order."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size, width, height, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    abs_h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    tot_r = tot_g = tot_b = 0
+    for row in range(abs_h):
+        base = data_offset + row * row_bytes
+        line = content[base : base + width * 3]
+        if len(line) < width * 3:
+            raise ValueError("truncated pixel data")
+        tot_b += sum(line[0::3])
+        tot_g += sum(line[1::3])
+        tot_r += sum(line[2::3])
+    n_px = width * abs_h
+    if n_px == 0:
+        mean_r = mean_g = mean_b = 0.0
+    else:
+        mean_r, mean_g, mean_b = (t / n_px / 255.0 for t in (tot_r, tot_g, tot_b))
+    luma = 0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b
+    return [float(width), float(abs_h), float(bpp), mean_r, mean_g, mean_b, luma, float(n_px)]
+
+
 def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[float]:
-    """STUB: real decode needs PIL/librosa/ffmpeg — not in this image."""
+    """Real decode for WAV PCM and 24-bit BMP (magic-byte sniffed); other
+    codecs need external libraries not present in this container — those
+    raise unless ``fake=True`` (deterministic test double)."""
+    content = content or b""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     if not fake:
         raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "container; pass fake=True for the deterministic test double"
+            f"no stdlib decoder for this {modality} payload (only WAV PCM and "
+            "24-bit BMP decode natively); pass fake=True for the deterministic "
+            "test double"
         )
-    return _fake_features(content or b"")
+    return _fake_features(content)
 
 
 def extract_features(assets: DataFrame, n_features: int = 8, fake: bool = True) -> DataFrame:
@@ -66,13 +160,42 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def encode_wav(samples: list[int], sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (test fixture / decode round-trip)."""
+    data = array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit BMP encoder; ``pixels`` is rows (top-down) of (r,g,b)."""
+    h, w = len(pixels), len(pixels[0]) if pixels else 0
+    row_pad = (4 - (w * 3) % 4) % 4
+    body = b""
+    for row in reversed(pixels):  # BMP stores bottom-up
+        body += b"".join(bytes((b, g, r)) for r, g, b in row) + b"\x00" * row_pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
 def gen_assets(spark, n: int = 100) -> DataFrame:
-    """Deterministic synthetic assets for tests."""
+    """Deterministic synthetic assets for tests: every third audio/image
+    asset carries a REAL payload (PCM WAV / 24-bit BMP) for the native
+    decoders; the rest are opaque bytes exercised via the fake path."""
     rows = []
     mods = ("image", "audio", "video")
     for i in range(n):
         m = mods[i % 3]
-        content = (f"asset-{i}-" + "x" * (i % 17)).encode()
+        if m == "audio" and i % 9 == 1:
+            content = encode_wav([((j * 7919 + i) % 2000) - 1000 for j in range(160)])
+        elif m == "image" and i % 9 == 0:
+            content = encode_bmp([[((i * 3) % 256, 64, 200)] * 4 for _ in range(3)])
+        else:
+            content = (f"asset-{i}-" + "x" * (i % 17)).encode()
         meta = {
             "width": 640 if m == "image" else None,
             "height": 480 if m == "image" else None,

@@ -186,17 +186,37 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_block: int = 4096,
 ) -> DataFrame:
     """Blocked all-pairs: exact cosine top-k neighbors within each label
     block (IVF-with-given-centroids shape). The self-join shuffles on the
-    block key only; per-pair scoring stays in codegen."""
-    a = df.select(
-        F.col(label_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    block key only; per-pair scoring stays in codegen.
+
+    Skew guard (``max_block``): a label with n rows is an n^2 pair block
+    that would otherwise land in ONE join partition. Labels larger than
+    max_block split into B = ceil(n/max_block) deterministic hash
+    sub-buckets and all-pairs run over the B x B bucket-pair grid — the
+    a-side replicates each row B times keyed (bucket(a), j), the b-side
+    keyed (i, bucket(b)), so every pair meets exactly once in task
+    (bucket(a), bucket(b)). This PARTITIONS the pair space (exact results,
+    not sampling), bounds per-task memory, and costs B x replication only
+    for the oversized labels; when every label fits, B=1 everywhere and
+    the plan degenerates to the plain label equi-join."""
+    counts = df.groupBy(label_col).agg(
+        F.ceil(F.count("*") / F.lit(max_block)).cast("int").alias("__nb")
     )
-    b = df.select(
-        F.col(label_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    sized = df.join(F.broadcast(counts), label_col)
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+    a = sized.select(
+        F.col(label_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        bucket.alias("__pa"), grid.alias("__pb"),
     )
-    pairs = a.join(b, label_col).filter(F.col("id_a") != F.col("id_b"))
+    b = sized.select(
+        F.col(label_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        grid.alias("__pa"), bucket.alias("__pb"),
+    )
+    pairs = a.join(b, [label_col, "__pa", "__pb"]).filter(F.col("id_a") != F.col("id_b"))
     scored = pairs.select(
         label_col,
         "id_a",

@@ -80,3 +80,38 @@ def test_per_label_knn(spark, vectors):
         want = sorted(members, key=lambda i: (-sims[i], i))[:3]
         got = [r["id_b"] for r in sorted(by_a[id_a], key=lambda r: (-r["cos_sim"], r["id_b"]))]
         assert got == want
+
+
+def test_pairwise_topk_skewed_label_exact(spark):
+    """Skew guard: one label dominates (150 rows vs 10) with max_block=40
+    forcing the B x B bucket-pair grid; results must STILL be exact vs a
+    NumPy brute-force oracle — the grid partitions the pair space."""
+    import numpy as np
+
+    from rdf_i2b2_converter_spark.operators.similarity import pairwise_topk_per_label
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(150):
+        rows.append((i, "big", rng.randn(8).tolist()))
+    for i in range(150, 160):
+        rows.append((i, "small", rng.randn(8).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    got = {}
+    out = pairwise_topk_per_label(df, k=3, max_block=40)
+    for r in out.collect():
+        got.setdefault(r["id_a"], []).append((r["cos_sim"], r["id_b"]))
+
+    by_label = {"big": [r for r in rows if r[1] == "big"], "small": [r for r in rows if r[1] == "small"]}
+    for label, members in by_label.items():
+        vecs = {i: np.array(v) for i, _, v in members}
+        for i, vi in vecs.items():
+            sims = sorted(
+                (
+                    (round(float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj))), 6), j)
+                    for j, vj in vecs.items() if j != i
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            assert sorted(got[i], key=lambda t: (-t[0], t[1])) == sims, i
