@@ -1240,6 +1240,42 @@ SELECT n AS id, min(m) AS component FROM reach GROUP BY n
 """
 
 
+def _h11_xml_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11 — full XML templating incl. EnumValues expansion
+    (generate_xml, src/utils.py:229-249)."""
+    from rdf_i2b2_converter_spark.operators.migrate import generate_xml
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    xml = generate_xml(
+        {
+            "TestID": F.col("p_partkey").cast("string"),
+            "TestName": F.col("p_name"),
+            "DataType": F.when(F.col("p_size") > 25, F.lit("Integer")).otherwise(F.lit("Float")),
+            "EnumValues": F.array(F.col("p_brand"), F.col("p_type")),
+        }
+    )
+    return part.select("p_partkey", xml.alias("c_metadataxml"))
+
+
+def _h11_sql() -> str:
+    from rdf_i2b2_converter_spark.operators.migrate import XML_PATTERN
+
+    pat = XML_PATTERN.replace("'", "''")
+    return f"""
+SELECT p_partkey,
+  replace(replace(replace(replace('{pat}',
+    '<TestID></TestID>', '<TestID>' || p_partkey || '</TestID>'),
+    '<TestName></TestName>', '<TestName>' || p_name || '</TestName>'),
+    '<DataType></DataType>',
+    '<DataType>' || CASE WHEN p_size > 25 THEN 'Integer' ELSE 'Float' END || '</DataType>'),
+    '<EnumValues></EnumValues>',
+    '<EnumValues><Val description="">' || p_brand || '</Val>'
+      || '<Val description="">' || p_type || '</Val></EnumValues>')
+  AS c_metadataxml
+FROM part WHERE p_partkey <= 500
+"""
+
+
 def _a1_turtle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — Turtle source: synthesize a deterministic .ttl from the nation
     table (prefixes, 'a', ';' predicate lists, typed/bare literals), parse
@@ -1377,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar functions (H4, H9, H13)
         "h4_format_date": _h4_format_date,
         "h9_regexp_extract": _h9_regexp_extract,
+        "h11_xml_template": _h11_xml_template,
         "h13_value_dispatch": _h13_value_dispatch,
         # training-data ops
         "t_exact_dedup": _t_exact_dedup,
@@ -1433,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_except": _F3_SQL,
         "h4_format_date": _H4_SQL,
         "h9_regexp_extract": _H9_SQL,
+        "h11_xml_template": _h11_sql(),
         "h13_value_dispatch": _H13_SQL,
         "t_exact_dedup": _T_EXACT_DEDUP_SQL,
         "t_token_count": _T_TOKEN_COUNT_SQL,

@@ -4,14 +4,17 @@ executor clusters, per BASELINE.json north_rule).
 Protocol: the FULL KG pipeline (generate pages distributed -> extract ->
 Aho-Corasick mentions -> broadcast link -> connected-components
 canonicalize -> mint -> emit -> distinct) over the SAME synthetic corpus
-(default 100k pages, deterministic, generated identically at both levels),
-run in a fresh JVM at local[8] and local[32]. Each level warms codegen on
-a 2k-page run first so the timed number measures the pipeline, not Janino.
+(default 1M pages, deterministic, generated identically at every level),
+run in a fresh JVM per level (default local[2], local[8], local[32]).
+Each level warms codegen on a 2k-page run first so the timed number
+measures the pipeline, not Janino.
 
-    efficiency = (docs_per_sec[32] / docs_per_sec[8]) / (32 / 8)
+    efficiency(lo->hi) = (docs_per_sec[hi] / docs_per_sec[lo]) / (hi / lo)
 
-Also a correctness gate: the triple-set hash must be identical at both
-levels (URI determinism contract, SURVEY.md §7.4 #3).
+Both 4x pairs are reported: 2->8 (SMT-calibrated, engine-only) and 8->32
+(the literal N vs 4N protocol, capped ~0.72 by SMT on this box). Also a
+correctness gate: the triple-set hash must be identical at every level
+(URI determinism contract, SURVEY.md §7.4 #3).
 
 Writes BENCH/BASELINE.md. Run: python bench_scaling.py
 """
@@ -23,14 +26,15 @@ import os
 import subprocess
 import sys
 
-#: N vs 4N parallelism levels. 2 and 8 are chosen because both sit within
-#: this machine's PHYSICAL cores: a pure-CPU multiprocessing calibration
-#: (see BENCH/BASELINE.md) shows 1->8 processes scale at efficiency ~1.0
-#: while 8->32 caps at ~0.72 — the box has 32 logical / ~16 physical cores
-#: (SMT), so no job, however perfectly parallel, can reach 0.8 efficiency
-#: across the 8->32 step. 2 vs 8 measures the ENGINE, not the SMT penalty.
+#: Parallelism levels. BOTH 4x pairs are reported: 2->8 (the
+#: SMT-calibrated pair: a pure-CPU multiprocessing calibration shows 1->8
+#: processes scale at efficiency ~1.0 while 8->32 caps at ~0.72 — the box
+#: has 32 logical / ~16 physical cores, so no job, however perfectly
+#: parallel, can reach 0.8 efficiency across 8->32) and 8->32 (the
+#: driver's literal protocol) with the calibration ceiling noted next to
+#: it. 2->8 measures the ENGINE; 8->32 measures engine x silicon.
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SPARK_KG_SCALE_LEVELS", "2,8").split(",")
+    int(x) for x in os.environ.get("SPARK_KG_SCALE_LEVELS", "2,8,32").split(",")
 )
 N_DOCS = int(os.environ.get("SPARK_KG_SCALE_DOCS", "1000000"))
 
@@ -86,12 +90,39 @@ def run_reference_proxy() -> dict:
 def main() -> None:
     proxy = run_reference_proxy()
     results = {c: run_level(c) for c in LEVELS}
-    lo, hi = LEVELS
-    eff = round(
-        (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo), 3
+    effs = {}
+    for lo, hi in zip(LEVELS, LEVELS[1:]):
+        effs[f"{lo}->{hi}"] = round(
+            (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo), 3
+        )
+    hashes = {results[c]["hash"] for c in LEVELS}
+    counts = {results[c]["n_triples"] for c in LEVELS}
+    deterministic = len(hashes) == 1
+    same_count = len(counts) == 1
+    top = LEVELS[-1]
+
+    rows = "\n".join(
+        f"| local[{c}] | {results[c]['wall']} | {results[c]['docs_per_sec']} "
+        f"| {results[c]['n_triples']:,} | `{results[c]['hash']}` |"
+        for c in LEVELS
     )
-    deterministic = results[lo]["hash"] == results[hi]["hash"]
-    same_count = results[lo]["n_triples"] == results[hi]["n_triples"]
+    eff_lines = "\n".join(
+        f"- **Scaling efficiency ({pair} cores): {v}**"
+        + (
+            " — the SMT-calibrated pair (both levels inside the physical-core"
+            " linear region); target >= 0.8 at 4x"
+            if pair == "2->8"
+            else (
+                " — the literal 8->32 protocol pair; the pure-CPU calibration"
+                " caps ANY job at ~0.72 across this step (32 logical / ~16"
+                " physical cores, SMT), so read it against that silicon"
+                " ceiling, not against 1.0"
+                if pair == "8->32"
+                else ""
+            )
+        )
+        for pair, v in effs.items()
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
@@ -102,29 +133,29 @@ Job: full KG pipeline (distributed page generation -> byte-identical text
 extraction -> Aho-Corasick mention detection -> broadcast entity linking ->
 connected-components canonicalization -> deterministic URI minting ->
 triple emission -> distinct) over an identical {N_DOCS:,}-page synthetic
-corpus at two parallelism levels — the sandbox stand-in for N vs 4N
-executor clusters (north_rule). Fresh JVM per level; codegen warmed with a
-2k-page run before timing; identical 64-partition input at both levels.
+corpus at {len(LEVELS)} parallelism levels — the sandbox stand-in for N vs
+4N executor clusters (north_rule). Fresh JVM per level; codegen warmed
+with a 2k-page run before timing; identical 64-partition input at every
+level.
 
-Why local[{lo}] vs local[{hi}]: this box reports 32 logical cores but a
-pure-CPU multiprocessing calibration (Python LCG burn, no Spark) measures
-1 -> 8 processes at efficiency ~1.0 and 8 -> 32 at ~0.72 — i.e. ~16
-physical cores with SMT. Above 8 workers, even embarrassingly parallel
-CPU work cannot scale at 0.8; {lo} vs {hi} keeps both levels inside the
-linear region so the number measures the engine, not the silicon.
+Calibration: this box reports 32 logical cores but a pure-CPU
+multiprocessing calibration (Python LCG burn, no Spark) measures 1 -> 8
+processes at efficiency ~1.0 and 8 -> 32 at ~0.72 — i.e. ~16 physical
+cores with SMT. Both 4x pairs are therefore reported: 2 -> 8 isolates the
+ENGINE's scaling (both levels on physical cores), 8 -> 32 is the literal
+N vs 4N protocol and composes the engine with the SMT ceiling.
 
 | level | wall (s) | docs/sec | triples | triple-set hash |
 |---|---|---|---|---|
-| local[{lo}] | {results[lo]['wall']} | {results[lo]['docs_per_sec']} | {results[lo]['n_triples']:,} | `{results[lo]['hash']}` |
-| local[{hi}] | {results[hi]['wall']} | {results[hi]['docs_per_sec']} | {results[hi]['n_triples']:,} | `{results[hi]['hash']}` |
+{rows}
 
-- **Scaling efficiency ({lo} -> {hi} cores): {eff}** (target >= 0.8 at 4x)
+{eff_lines}
 - **vs reference-style single-node baseline** (one thread, pure Python,
   row-at-a-time — the reference's execution model — same extraction/
   matching/minting code, bench_reference_proxy.py):
   {proxy['docs_per_sec']} docs/sec single-threaded vs
-  {results[hi]['docs_per_sec']} at local[{hi}] —
-  **{round(results[hi]['docs_per_sec'] / proxy['docs_per_sec'], 2)}x** on one
+  {results[top]['docs_per_sec']} at local[{top}] —
+  **{round(results[top]['docs_per_sec'] / proxy['docs_per_sec'], 2)}x** on one
   node, while additionally doing entity-link scoring, connected-components
   canonicalization, full 7-predicate emission and a partitioned sink the
   proxy skips.
@@ -134,11 +165,11 @@ linear region so the number measures the engine, not the silicon.
 
 Caveats: local-mode levels share one JVM/driver and one disk; shuffle is
 in-process. Fixed driver costs (job scheduling, the CC fixpoint's ~6
-barrier rounds) do not shrink with cores, so this efficiency is a
-conservative lower bound for a real cluster at this per-core data volume.
+barrier rounds) do not shrink with cores, so these efficiencies are
+conservative lower bounds for a real cluster at this per-core data volume.
 """
         )
-    print(json.dumps({"results": results, "efficiency": eff,
+    print(json.dumps({"results": results, "efficiency": effs,
                       "deterministic": deterministic}))
 
 

@@ -106,6 +106,49 @@ def insert_units(
     )
 
 
+#: i2b2 C_METADATAXML template — same tag set as the reference's
+#: XML_PATTERN (local_config_template/i2b2_rdf_config_spo.json:100).
+XML_PATTERN = (
+    "<?xml version='1.0'?><ValueMetadata><Version>3.02</Version>"
+    "<CreationDateTime>08/14/2008 01:22:59</CreationDateTime>"
+    "<TestID></TestID><TestName></TestName><DataType></DataType>"
+    "<CodeType></CodeType><Flagstouse></Flagstouse>"
+    "<Oktousevalues>Y</Oktousevalues><MaxStringLength></MaxStringLength>"
+    "<EnumValues></EnumValues>"
+    "<CommentsDeterminingExclusion><Com></Com></CommentsDeterminingExclusion>"
+    "<UnitValues><NormalUnits></NormalUnits><EqualUnits></EqualUnits>"
+    "<ExcludingUnits></ExcludingUnits><ConvertingUnits><Units></Units>"
+    "<MultiplyingFactor></MultiplyingFactor></ConvertingUnits></UnitValues>"
+    "<Analysis><Enums /><Counts /><New /></Analysis></ValueMetadata>"
+)
+
+
+def generate_xml(fields: dict, pattern: str = XML_PATTERN):
+    """H11 — full XML templating (generate_xml, src/utils.py:229-249):
+    fill ``<Tag></Tag>`` slots of the pattern from tag -> Column; the
+    ``EnumValues`` tag takes an ``array<string>`` column expanded to
+    ``<Val description="">elem</Val>`` items. Null values leave the empty
+    tag (the reference skips None keys — inserting '' is the same string).
+    Pure string expressions, one linear codegen chain, no UDF."""
+    res = F.lit(pattern)
+    for tag, col in fields.items():
+        if tag == "EnumValues":
+            col = F.aggregate(
+                col,
+                F.lit(""),
+                lambda acc, e: F.concat(
+                    acc, F.lit('<Val description="">'), e, F.lit("</Val>")
+                ),
+            )
+        ftag, etag = f"<{tag}>", f"</{tag}>"
+        res = F.replace(
+            res,
+            F.lit(ftag + etag),
+            F.concat(F.lit(ftag), F.coalesce(col, F.lit("")), F.lit(etag)),
+        )
+    return res
+
+
 def relocate_values(
     df: DataFrame,
     group_keys: list[str],

@@ -75,24 +75,40 @@ def write_sized_parquet(
     100 TB sink at ~200k healthy files instead of millions of tiny ones or
     a handful of unsplittable monsters. Returns the partition count used.
 
-    Estimation is deliberately cheap: one limit(sample)+count pass; parquet
-    encodes ~3-5x smaller than the in-memory pickle estimate, folded into
-    the factor below. Pathologically compressible data (constant columns)
-    overshoots the file count — the safe direction: more smaller files,
-    never unsplittable monsters.
+    Estimation order (cheapest first):
+    1. Catalyst plan statistics (``optimizedPlan().stats().sizeInBytes``) —
+       derived from source file sizes and schema widths at PLANNING time,
+       zero extra data passes. Used when the optimizer has a real number
+       (file-backed sources propagate one; 'unknown' surfaces as a
+       Long.MaxValue-ish sentinel we reject).
+    2. Fallback: one limit(sample)+count pass with a pickle-based row-width
+       estimate (in-memory relations, post-shuffle plans without stats).
+    Parquet encodes ~3-5x smaller than in-memory widths — folded into the
+    factors. Pathologically compressible data overshoots the file count —
+    the safe direction: more smaller files, never unsplittable monsters.
     """
     import pickle
 
     from ..config import TARGET_PARTITION_BYTES
 
     target = target_bytes or TARGET_PARTITION_BYTES
-    n_rows = df.count()
-    if n_rows == 0:
-        df.write.mode(mode).parquet(path)
-        return 1
-    sample = df.limit(sample_rows).collect()
-    raw_row = max(1, len(pickle.dumps([tuple(r) for r in sample])) // max(1, len(sample)))
-    est_disk = int(n_rows * raw_row * 0.3)  # parquet encoding + compression factor
+    est_disk = None
+    try:
+        stat = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+        if 0 < stat < (1 << 50):  # >1 PiB == the optimizer's 'unknown' sentinel
+            # plan stats track source bytes (parquet: already compressed);
+            # re-encoding lands in the same ballpark
+            est_disk = stat
+    except Exception:
+        pass
+    if est_disk is None:
+        n_rows = df.count()
+        if n_rows == 0:
+            df.write.mode(mode).parquet(path)
+            return 1
+        sample = df.limit(sample_rows).collect()
+        raw_row = max(1, len(pickle.dumps([tuple(r) for r in sample])) // max(1, len(sample)))
+        est_disk = int(n_rows * raw_row * 0.3)  # parquet encoding + compression factor
     n_parts = max(1, (est_disk + target - 1) // target)
     df.repartition(n_parts).write.mode(mode).parquet(path)
     return n_parts

@@ -60,3 +60,33 @@ def test_relocate_values(spark):
     out = relocate_values(df, ["patient", "concept"], "kind = 'VALUE_ROW'", ["nval"])
     got = {(r["patient"], r["kind"]): r["nval"] for r in out.collect()}
     assert got == {(1, "mod_a"): 3.5, (1, "mod_b"): 3.5, (2, "mod_a"): None}
+
+
+def test_generate_xml_full_template(spark):
+    """H11 — full XML templating with EnumValues expansion
+    (generate_xml, src/utils.py:229-249)."""
+    from pyspark.sql import functions as F
+
+    from rdf_i2b2_converter_spark.operators.migrate import generate_xml
+
+    df = spark.createDataFrame(
+        [("Float", ["mg", "ml"], None)],
+        "dt string, enums array<string>, maxlen string",
+    )
+    out = df.select(
+        generate_xml(
+            {
+                "DataType": F.col("dt"),
+                "EnumValues": F.col("enums"),
+                "MaxStringLength": F.col("maxlen"),
+            }
+        ).alias("xml")
+    ).collect()[0]["xml"]
+    assert "<DataType>Float</DataType>" in out
+    assert (
+        '<EnumValues><Val description="">mg</Val>'
+        '<Val description="">ml</Val></EnumValues>' in out
+    )
+    assert "<MaxStringLength></MaxStringLength>" in out  # None -> tag untouched
+    assert out.startswith("<?xml version='1.0'?><ValueMetadata>")
+    assert "<Oktousevalues>Y</Oktousevalues>" in out
