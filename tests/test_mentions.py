@@ -58,3 +58,4 @@ def test_linking_unique_per_url_surface(spark, corpus):
     m = detect_mentions(pages, corpus["gazetteer"])
     linked = link_mentions(m, corpus["gazetteer"], pages.select("url", "lang"))
     assert linked.groupBy("url", "surface").count().filter(F.col("count") > 1).count() == 0
+
