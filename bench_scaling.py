@@ -45,7 +45,14 @@ from rdf_i2b2_converter_spark.session import get_spark
 from rdf_i2b2_converter_spark.sources import synthetic as syn
 from rdf_i2b2_converter_spark.plans.pipeline import build_triples
 from pyspark.sql import functions as F
-spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=cpus)
+# task.cpus=2 at EVERY level: the pipeline's hot stage chains a JVM task
+# thread with Arrow python workers, so one task really occupies ~2 cores.
+# Without the reservation the scheduler oversubscribes physical cores and
+# the job ANTI-scales past 16 threads on this box (measured: local[32]
+# 22.9k docs/s plain vs 46.9k with task.cpus=2). Identical conf at every
+# level keeps the comparison one job at two resource sizes.
+spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=cpus,
+                  extra_conf={{"spark.task.cpus": "2"}})
 
 PARTS = 64  # identical partitioning at every level: same job, same input
 

@@ -69,10 +69,14 @@ def cmd_data(args) -> int:
     OBSERVATION_FACT-style rows, postprod reindex included."""
     from .operators.postprod import reindex
     from .plans.data_pipeline import extract_observations
-    from .sources.rdf import read_ntriples
+    from .sources.rdf import read_ntriples, read_turtle
 
     spark = _spark(args)
-    if args.triples.endswith(".nt") or args.format == "ntriples":
+    # guess_format analog (reference src/utils.py:48-75): extension wins,
+    # explicit --format overrides
+    if args.triples.endswith(".ttl") or args.format == "turtle":
+        triples = read_turtle(spark, args.triples, expand_prefixes=False)
+    elif args.triples.endswith(".nt") or args.format == "ntriples":
         triples = read_ntriples(spark, args.triples)
     else:
         triples = spark.read.parquet(args.triples)
@@ -123,8 +127,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.set_defaults(fn=cmd_pipeline)
 
     pd_ = sub.add_parser("data", help="instance triples -> observation facts")
-    pd_.add_argument("--triples", required=True, help=".nt file/dir or parquet dir")
-    pd_.add_argument("--format", choices=["parquet", "ntriples"], default="parquet")
+    pd_.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
+    pd_.add_argument("--format", choices=["parquet", "ntriples", "turtle"], default="parquet")
     pd_.add_argument("--entry-class", action="append", required=True)
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--no-reindex", action="store_true")

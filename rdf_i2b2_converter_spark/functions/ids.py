@@ -77,10 +77,59 @@ def dense_id(df, key_cols: list[str], id_col: str = "dense_id"):
 
     Scale note: row_number over a global window single-tasks the mapping
     build. That is fine when distinct keys << facts (patients vs
-    observations); for truly huge key sets use zipWithIndex-style
-    per-partition offsets instead.
+    observations); for truly huge key sets use :func:`dense_id_scalable`.
     """
     from pyspark.sql import Window
 
     w = Window.orderBy(*key_cols)
     return df.select(*key_cols).distinct().withColumn(id_col, F.row_number().over(w))
+
+
+def dense_id_scalable(df, key_cols: list[str], id_col: str = "dense_id", num_partitions: int | None = None):
+    """Same contract as :func:`dense_id` (dense 1..N ids in global key
+    order, parallelism-independent) without the single-task global window:
+
+    1. range-partition the distinct keys (a sampled-boundary shuffle — the
+       same mechanism as a distributed sort) and sort within partitions;
+    2. count rows per partition (one lightweight agg), cumulate the counts
+       driver-side into per-partition OFFSETS (one tiny collect — number of
+       partitions, not rows);
+    3. stamp ``offset + local row_number`` partition-locally via a window
+       keyed on the partition id — every partition numbers itself in
+       parallel.
+
+    At 10^9+ distinct keys this is two shuffles of the key set and zero
+    serial stages, vs dense_id's one shuffle into ONE task. The result is
+    bit-identical to dense_id (asserted in tests): range partitions are
+    globally ordered, so offsets + local ranks compose to the global rank.
+    """
+    from pyspark.sql import Window
+
+    keys = df.select(*key_cols).distinct()
+    n_parts = num_partitions or keys.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        keys.repartitionByRange(n_parts, *key_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the sampled range boundaries:
+        # repartitionByRange samples, so recomputation could re-draw
+        # boundaries between the count pass and the numbering pass
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    rows, acc = [], 0
+    for pid in sorted(counts):
+        rows.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.coalesce(F.col("__off"), F.lit(0))).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )

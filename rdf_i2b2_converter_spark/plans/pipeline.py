@@ -71,9 +71,22 @@ def build_triples(
     mention_counter=None,
 ) -> DataFrame:
     """The full logical plan, lazily composed (no actions)."""
-    texted = pages.withColumn(
-        "text", F.coalesce(F.col("text"), extract_text(F.col("html")))
+    # Conditional extraction: `coalesce(text, extract_text(html))` LOOKS
+    # lazy but is not — Catalyst pulls Python UDFs into their own
+    # ArrowEvalPython node, which evaluates the UDF for EVERY row before
+    # coalesce picks. Splitting into two branches (a) skips the UDF
+    # entirely for rows that already carry text — at 100 TB that is the
+    # difference between a Python pass over the whole corpus and over the
+    # html-only slice — and (b) removes one of the chained Python worker
+    # pools from the hot stage (each ArrowEvalPython/mapInPandas node runs
+    # its own worker per task; stacking them oversubscribes physical cores
+    # — measured: the 3-deep chain anti-scaled beyond 16 threads on a
+    # 16-physical-core box while each stage alone scaled fine).
+    have_text = pages.filter(F.col("text").isNotNull())
+    need_text = pages.filter(F.col("text").isNull()).withColumn(
+        "text", extract_text(F.col("html"))
     )
+    texted = have_text.unionByName(need_text)
     # lang/warc_ts ride through the matcher map-side (passthrough) — a
     # re-join of mentions to pages on url would need either a shuffle of
     # the full page set or a driver-built broadcast of it; both are the

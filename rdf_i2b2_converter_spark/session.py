@@ -9,6 +9,15 @@ Local-mode knobs mirror what we would set on a real cluster:
   (pandas UDF / mapInPandas / applyInPandas); there is no per-row Python.
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (duckdb timestamps are UTC-naive).
+
+Tuning note for python-heavy plans: a stage that chains Arrow python
+evals (mapInPandas -> pandas UDF -> ...) runs one python worker PER eval
+node per task alongside the JVM task thread — one task occupies ~2+
+cores. Submit such jobs with ``--conf spark.task.cpus=2`` (pass
+``extra_conf={"spark.task.cpus": "2"}`` here); without the reservation
+the scheduler oversubscribes physical cores and throughput ANTI-scales
+past the physical-core count (measured on this box: local[32] 22.9k
+docs/s plain vs 46.9k with the reservation on the KG pipeline).
 """
 
 from __future__ import annotations

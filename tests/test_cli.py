@@ -27,3 +27,31 @@ def test_cli_synth_pipeline_ontology(spark, tmp_path, capsys):
 
     assert main(["ontology", "--ontology", f"{data}/ontology", "--out", str(tmp_path / "star")]) == 0
     assert spark.read.parquet(str(tmp_path / "star/metadata")).count() > 0
+
+
+def test_cli_data_from_turtle(spark, tmp_path, capsys):
+    """The reference's own front door: point `data` at a .ttl file
+    (guess_format analog) and get observation facts out."""
+    ttl = tmp_path / "inst.ttl"
+    ttl.write_text(
+        "@prefix kg: <kg:> .\n"
+        "kg:i1 a kg:Event .\n"
+        'kg:i1 kg:hasSubject kg:s1 ; kg:hasScore "7.5"^^xsd:double .\n'
+        "kg:s1 a kg:SubjectPseudoIdentifier .\n"
+        'kg:s1 kg:hasIdentifier "u1" .\n'
+    )
+    out = str(tmp_path / "facts")
+    assert (
+        main(
+            [
+                "data",
+                "--triples", str(ttl),
+                "--entry-class", "kg:Event",
+                "--out", out,
+                "--no-reindex",
+            ]
+        )
+        == 0
+    )
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_observations"] == 2  # '@' concept row + hasScore value row

@@ -40,3 +40,24 @@ def test_dense_id_is_dense_and_deterministic(spark):
     df = spark.createDataFrame([(k,) for k in [30, 10, 20, 10, 30, 30]], "k int")
     m = {r["k"]: r["dense_id"] for r in dense_id(df, ["k"]).collect()}
     assert m == {10: 1, 20: 2, 30: 3}
+
+
+def test_dense_id_scalable_matches_window_variant(spark):
+    """dense_id_scalable (range-partition + per-partition offsets, no
+    single-task global window) must produce the SAME dense numbering as
+    dense_id, at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from rdf_i2b2_converter_spark.functions.ids import dense_id, dense_id_scalable
+
+    # duplicate keys + skewed distribution + multiple input partitions
+    rows = [(f"p{i % 137:03d}", i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "patient string, site int").repartition(16)
+
+    a = dense_id(df, ["patient", "site"], "n").select(
+        "patient", "site", F.col("n").cast("long").alias("n")
+    )
+    for n_parts in (1, 3, 32):
+        b = dense_id_scalable(df, ["patient", "site"], "n", num_partitions=n_parts)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, n_parts
+        assert b.count() == a.count()
