@@ -48,7 +48,9 @@ def main() -> None:
         "g1_closure",           # iterative transitive closure
         "g7_cc_canonical",      # connected components
         "t_lsh_pairs",          # MinHash-LSH near-dup
-        "t_exact_dedup",        # hash dedup
+        "t_exact_dedup",        # hash dedup (min_by map-side combine)
+        "t_simhash",            # single-pass 64-bit SimHash
+        "t_langid",             # single-pass stopword argmax
         "s_ann_topk",           # embedding similarity
         "j_windowed_counts",    # windowed agg (streaming analog)
     ]

@@ -39,20 +39,22 @@ LEVELS = tuple(
 N_DOCS = int(os.environ.get("SPARK_KG_SCALE_DOCS", "1000000"))
 
 _LEVEL_CODE = """
-import json, time, sys
+import json, os, time, sys
 cpus = {cpus}; n_docs = {n_docs}
 from rdf_i2b2_converter_spark.session import get_spark
 from rdf_i2b2_converter_spark.sources import synthetic as syn
 from rdf_i2b2_converter_spark.plans.pipeline import build_triples
 from pyspark.sql import functions as F
-# task.cpus=2 at EVERY level: the pipeline's hot stage chains a JVM task
-# thread with Arrow python workers, so one task really occupies ~2 cores.
-# Without the reservation the scheduler oversubscribes physical cores and
-# the job ANTI-scales past 16 threads on this box (measured: local[32]
-# 22.9k docs/s plain vs 46.9k with task.cpus=2). Identical conf at every
-# level keeps the comparison one job at two resource sizes.
+# SPARK_KG_TASK_CPUS=2 reserves 2 cores/task: the pipeline's hot stage
+# chains a JVM task thread with Arrow python workers, so one task really
+# occupies ~2 cores when the pipeline overlaps. Measured trade-off on this
+# box: the reservation FIXES local[32] (22.9k docs/s plain -> 46.9k) but
+# HALVES local[2] (one slot cannot keep 2 cores continuously busy).
+# Default 1 keeps the protocol comparable across rounds; BENCH/BASELINE.md
+# reports both configurations.
+task_cpus = os.environ.get("SPARK_KG_TASK_CPUS", "1")
 spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=cpus,
-                  extra_conf={{"spark.task.cpus": "2"}})
+                  extra_conf={{"spark.task.cpus": task_cpus}})
 
 PARTS = 64  # identical partitioning at every level: same job, same input
 
