@@ -918,6 +918,27 @@ QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC) <=
 """
 
 
+def _s_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family) — exact all-pairs
+    mode on a bounded slice; the rh-signature-bucketed mode is the scale
+    path (pytest-covered, hyperplanes not SQL-reproducible)."""
+    from rdf_i2b2_converter_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    return cosine_near_dup_pairs(emb, threshold=0.35, round_digits=6)
+
+
+_S_EMBED_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 250
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
 def _j_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1426,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_jaccard": _t_jaccard,
         "s_ann_topk": _s_ann_topk,
         "s_knn_per_label": _s_knn_label,
+        "s_embed_neardup": _s_embed_neardup,
         # streaming-analog windowed agg (J)
         "j_windowed_counts": _j_windowed_counts,
         # rows-only (non-SQL-expressible)
@@ -1482,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "t_jaccard": _T_JACCARD_SQL,
         "s_ann_topk": _S_ANN_SQL,
         "s_knn_per_label": _S_KNN_SQL,
+        "s_embed_neardup": _S_EMBED_NEARDUP_SQL,
         "j_windowed_counts": _J_WINDOW_SQL,
         "t_simhash": _T_SIMHASH_SQL,
         "g7_cc_canonical": _G7_CC_SQL,

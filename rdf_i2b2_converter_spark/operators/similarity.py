@@ -180,6 +180,60 @@ def query_ann_index(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    max_block: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family variant
+    over vector columns: emit (id_a < id_b, cos_sim) for pairs with
+    cosine >= threshold.
+
+    Blocking: with ``n_planes`` set, candidates are restricted to vectors
+    sharing a random-hyperplane signature (rh_signature) — the scale path:
+    near-identical embeddings land in the same bucket with high
+    probability and the quadratic work shrinks to per-bucket blocks.
+    Without it, one global block = exact all-pairs (verification/oracle
+    path for bounded inputs). Either way, oversized blocks split into the
+    exact B x B sub-bucket grid (same machinery as pairwise_topk_per_label)
+    so no single task goes quadratic in the block size."""
+    blk = (
+        rh_signature(F.col(vec_col), dim, n_planes)
+        if n_planes
+        else F.lit(0).cast("long")
+    )
+    d2 = df.select(F.col(id_col), F.col(vec_col), blk.alias("__blk"))
+    counts = d2.groupBy("__blk").agg(
+        F.ceil(F.count("*") / F.lit(max_block)).cast("int").alias("__nb")
+    )
+    sized = d2.join(F.broadcast(counts), "__blk")
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+    a = sized.select(
+        "__blk", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        bucket.alias("__pa"), grid.alias("__pb"),
+    )
+    b = sized.select(
+        "__blk", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        grid.alias("__pa"), bucket.alias("__pb"),
+    )
+    pairs = a.join(b, ["__blk", "__pa", "__pb"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 5,

@@ -115,3 +115,41 @@ def test_pairwise_topk_skewed_label_exact(spark):
                 key=lambda t: (-t[0], t[1]),
             )[:3]
             assert sorted(got[i], key=lambda t: (-t[0], t[1])) == sims, i
+
+
+def test_cosine_near_dup_exact_and_bucketed(spark):
+    """Embedding-cosine near-dup (dedup family): exact mode finds every
+    planted near-duplicate; the rh-signature-bucketed scale path recovers
+    them too (near-identical vectors share all hyperplane signs) without
+    emitting the full quadratic pair set."""
+    import numpy as np
+
+    from rdf_i2b2_converter_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(80):
+        v = rng.randn(16)
+        rows.append((i, v.tolist()))
+        rows.append((1000 + i, (v + rng.randn(16) * 0.01).tolist()))  # planted dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {(i, 1000 + i) for i in range(80)}
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    assert want <= exact
+
+    bucketed = cosine_near_dup_pairs(df, threshold=0.99, dim=16, n_planes=6)
+    got = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall
+    assert got <= exact  # blocking only prunes candidates, never adds
+
+    # grid path: force sub-bucket splitting, result unchanged vs exact mode
+    grid = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.99, max_block=20).collect()
+    }
+    assert grid == exact
