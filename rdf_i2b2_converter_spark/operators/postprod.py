@@ -24,20 +24,31 @@ def dedup_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 
 
 def reindex(
-    fact: DataFrame, id_col: str, new_col: str | None = None
+    fact: DataFrame, id_col: str, new_col: str | None = None, scalable: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Dense integer reindex of an identifier column (reindex_encounters /
     reindex_patients, src/scripts/postprod.bash:109-149, operators E2+C8):
-    returns (rewritten fact, mapping table). Mapping is broadcast — the
-    distinct-key side is always orders of magnitude smaller than the fact.
-    """
+    returns (rewritten fact, mapping table).
+
+    ``scalable=False`` (default): mapping via the single-task global
+    window (functions/ids.dense_id) and a broadcast join back — right when
+    distinct keys << facts (patients vs observations). ``scalable=True``:
+    range-partitioned per-partition-offset numbering
+    (functions/ids.dense_id_scalable, same values bit-for-bit) and a
+    SHUFFLE join back — right when the key set itself is huge (billions of
+    patients: neither a one-task window nor a broadcast fits)."""
+    from ..functions.ids import dense_id_scalable
+
     new_col = new_col or id_col
-    mapping = dense_id(fact, [id_col], "new_id")
-    rewritten = (
-        fact.join(F.broadcast(mapping), id_col, "left")
-        .withColumn(new_col, F.coalesce(F.col("new_id"), F.lit(-1)))
-        .drop("new_id")
-    )
+    if scalable:
+        mapping = dense_id_scalable(fact, [id_col], "new_id")
+        joined = fact.join(mapping, id_col, "left")
+    else:
+        mapping = dense_id(fact, [id_col], "new_id")
+        joined = fact.join(F.broadcast(mapping), id_col, "left")
+    rewritten = joined.withColumn(
+        new_col, F.coalesce(F.col("new_id"), F.lit(-1))
+    ).drop("new_id")
     return rewritten, mapping
 
 

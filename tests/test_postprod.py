@@ -66,3 +66,21 @@ def test_anti_join_check(spark):
     dim = spark.createDataFrame([("c1",)], "code string")
     bad = anti_join_check(fact, dim, "code").collect()
     assert [r["code"] for r in bad] == ["c2"]
+
+
+def test_reindex_scalable_matches_default(spark):
+    """scalable=True (range-partitioned numbering + shuffle join) must
+    produce the same rewritten fact as the broadcast-window default."""
+    from pyspark.sql import functions as F
+
+    from rdf_i2b2_converter_spark.operators.postprod import reindex
+
+    fact = spark.createDataFrame(
+        [(f"enc{i % 43:02d}", i) for i in range(500)], "encounter string, row int"
+    ).repartition(8)
+    a, ma = reindex(fact, "encounter", "enc_num")
+    b, mb = reindex(fact, "encounter", "enc_num", scalable=True)
+    an = a.select("row", F.col("enc_num").cast("long").alias("n"))
+    bn = b.select("row", F.col("enc_num").cast("long").alias("n"))
+    assert an.exceptAll(bn).count() == 0 and bn.exceptAll(an).count() == 0
+    assert ma.count() == mb.count() == 43
