@@ -289,6 +289,22 @@ def scan_turtle_errors(spark: SparkSession, path: str) -> DataFrame:
     return lines.mapInPandas(check, schema="value string, error string")
 
 
+def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """guess_format front door (src/utils.py:48-75 analog): dispatch on
+    explicit ``fmt`` ('ntriples'|'turtle'|'parquet') or file extension
+    (.nt/.ttl), defaulting to a parquet triples table."""
+    fmt = fmt or (
+        "ntriples" if path.endswith(".nt")
+        else "turtle" if path.endswith(".ttl")
+        else "parquet"
+    )
+    if fmt == "ntriples":
+        return read_ntriples(spark, path)
+    if fmt == "turtle":
+        return read_turtle(spark, path)
+    return spark.read.parquet(path)
+
+
 def scan_errors(spark: SparkSession, path: str) -> DataFrame:
     """Lines that are neither statements, comments nor blank — the engine's
     fail-soft counterpart of rdflib's parse error (src/utils.py:61-63

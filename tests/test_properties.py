@@ -75,3 +75,71 @@ def test_tokenize_contract_matches_regex(text):
     toks = [t for t in sp.split(text.lower()) if t]
     for t in toks:
         assert not sp.search(t)  # tokens contain no separator chars
+
+
+# --------------------------------------------------------------- Turtle
+
+_pname = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}:[A-Za-z0-9_]{1,10}", fullmatch=True)
+_iri = st.from_regex(r"https?://[a-z0-9./#-]{1,24}", fullmatch=True)
+_blank = st.from_regex(r"_:[A-Za-z0-9]{1,8}", fullmatch=True)
+_littext = st.text(
+    alphabet=st.characters(blacklist_characters='\n\r', blacklist_categories=("Cs",)),
+    max_size=20,
+)
+
+
+@given(
+    subj=st.one_of(_pname, _iri.map(lambda x: f"<{x}>"), _blank),
+    po_groups=st.lists(
+        st.tuples(
+            _pname,
+            st.lists(
+                st.one_of(
+                    _pname,
+                    _blank,
+                    st.tuples(_littext, st.sampled_from(["", "@en", "^^xsd:double"])),
+                    st.integers(-10**6, 10**6),
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_turtle_line_roundtrip_property(subj, po_groups):
+    """Statement-builder round-trip: any combination of ';' predicate
+    lists and ',' object lists over pnames/IRIs/blanks/literals/numbers
+    parses back to exactly the intended (s, p, o, dt, lang) set."""
+    from rdf_i2b2_converter_spark.sources.rdf import _parse_turtle_line
+
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace('"', '\\"')
+
+    expected = set()
+    parts = []
+    s_out = subj[1:-1] if subj.startswith("<") else subj
+    for pred, objs in po_groups:
+        obj_strs = []
+        for o in objs:
+            if isinstance(o, tuple):
+                text, suffix = o
+                obj_strs.append(f'"{esc(text)}"{suffix}')
+                if suffix == "@en":
+                    expected.add((s_out, pred, text, "xsd:string", "en"))
+                elif suffix == "^^xsd:double":
+                    expected.add((s_out, pred, text, "xsd:double", None))
+                else:
+                    expected.add((s_out, pred, text, "xsd:string", None))
+            elif isinstance(o, int):
+                obj_strs.append(str(o))
+                expected.add((s_out, pred, str(o), "xsd:integer", None))
+            else:
+                obj_strs.append(o)
+                expected.add((s_out, pred, o, None, None))
+        parts.append(f"{pred} " + ", ".join(obj_strs))
+    line = f"{subj} " + " ; ".join(parts) + " ."
+    got = set(_parse_turtle_line(line, {}, expand=False))
+    assert got == expected, line
