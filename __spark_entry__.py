@@ -1332,7 +1332,8 @@ SELECT 'http://ex.org/n' || k, 'http://ex.org/inRegion', 'http://ex.org/r' || r,
 UNION ALL
 SELECT 'http://ex.org/n' || k, 'http://ex.org/name', nm, 'xsd:string' FROM n
 UNION ALL
-SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR, 'xsd:integer' FROM n
+SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR,
+       'http://www.w3.org/2001/XMLSchema#integer' FROM n
 """
 
 

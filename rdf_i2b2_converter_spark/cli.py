@@ -69,17 +69,17 @@ def cmd_data(args) -> int:
     OBSERVATION_FACT-style rows, postprod reindex included."""
     from .operators.postprod import reindex
     from .plans.data_pipeline import extract_observations
-    from .sources.rdf import read_ntriples, read_turtle
+    from .sources.rdf import read_rdf, read_turtle
 
     spark = _spark(args)
-    # guess_format analog (reference src/utils.py:48-75): extension wins,
-    # explicit --format overrides
-    if args.triples.endswith(".ttl") or args.format == "turtle":
+    # guess_format analog (reference src/utils.py:48-75): an explicit
+    # --format always wins; 'auto' dispatches on the file extension
+    fmt = None if args.format == "auto" else args.format
+    if fmt == "turtle" or (fmt is None and args.triples.endswith(".ttl")):
+        # compact pnames: entry classes in configs use the p:local form
         triples = read_turtle(spark, args.triples, expand_prefixes=False)
-    elif args.triples.endswith(".nt") or args.format == "ntriples":
-        triples = read_ntriples(spark, args.triples)
     else:
-        triples = spark.read.parquet(args.triples)
+        triples = read_rdf(spark, args.triples, fmt)
     obs = extract_observations(triples, args.entry_class)
     if not args.no_reindex:
         obs, patient_map = reindex(obs, "patient_num")
@@ -128,7 +128,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pd_ = sub.add_parser("data", help="instance triples -> observation facts")
     pd_.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
-    pd_.add_argument("--format", choices=["parquet", "ntriples", "turtle"], default="parquet")
+    pd_.add_argument(
+        "--format", choices=["auto", "parquet", "ntriples", "turtle"], default="auto",
+        help="explicit format wins; auto dispatches on the file extension",
+    )
     pd_.add_argument("--entry-class", action="append", required=True)
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--no-reindex", action="store_true")

@@ -82,12 +82,16 @@ def lsh_candidate_pairs(
     canonicalize.salt_keys if a single band key dominates.
 
     ``max_bucket_size``: giant-bucket cap. A degenerate band bucket with n
-    members (boilerplate/empty pages all hashing alike) emits n^2 candidate
-    pairs BEFORE any verify stage — AQE can redistribute those pairs but
-    cannot stop them existing. Buckets above the cap are dropped entirely
-    (standard LSH practice: a bucket that large is boilerplate, not a
-    near-dup signal; members still pair through their other bands when
-    genuinely similar) and the clip is logged. None disables the cap."""
+    members (boilerplate/identical pages all hashing alike) would emit n^2
+    candidate pairs BEFORE any verify stage — AQE can redistribute those
+    pairs but cannot stop them existing. Buckets above the cap are
+    STAR-LINKED instead of all-paired: every member pairs with the
+    bucket's minimum id only (n-1 pairs). True duplicate clusters stay
+    connected (a downstream connected-components over verified pairs
+    recovers the full cluster through the hub), the n^2 blowup cannot
+    happen, and the clip is logged. Note the pair SET differs from the
+    uncapped one for those buckets — candidates are a recall vehicle, not
+    an exact relation. None disables the cap."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, text_col, k, n_hashes).select(id_col, "minhash")
     # materialize before the self-join: joining on COMPUTED columns makes
@@ -112,25 +116,39 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    star_pairs = None
     if max_bucket_size is not None:
-        sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("__n"))
+        sizes = bands.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("__n"), F.min(id_col).alias("__hub")
+        )
         big = sizes.filter(F.col("__n") > max_bucket_size).localCheckpoint(eager=True)
         n_clipped = big.count()
         if n_clipped:
             stats = big.agg(F.sum("__n").alias("rows"), F.max("__n").alias("worst")).collect()[0]
             _LOG.warning(
-                "lsh_candidate_pairs: dropped %d bucket(s) over cap %d "
-                "(%d member rows, largest %d) — would have emitted O(n^2) pairs",
+                "lsh_candidate_pairs: star-linked %d bucket(s) over cap %d "
+                "(%d member rows, largest %d) — all-pairs would be O(n^2)",
                 n_clipped, max_bucket_size, stats["rows"], stats["worst"],
             )
             # no forced broadcast: the clipped-bucket set is normally tiny
             # (<= n_rows/cap by construction) and AQE broadcasts it anyway,
             # but a pathological corpus could make it large
+            big_keys = big.select("band_id", "band_hash", "__hub")
+            star_pairs = (
+                bands.join(big_keys, ["band_id", "band_hash"])
+                .filter(F.col(id_col) != F.col("__hub"))
+                .select(
+                    F.least(F.col("__hub"), F.col(id_col)).alias("id_a"),
+                    F.greatest(F.col("__hub"), F.col(id_col)).alias("id_b"),
+                )
+            )
             bands = bands.join(
-                big.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti"
+                big_keys.select("band_id", "band_hash"),
+                ["band_id", "band_hash"],
+                "left_anti",
             )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -138,8 +156,10 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.distinct()
 
 
 # --------------------------------------------------------------- SimHash

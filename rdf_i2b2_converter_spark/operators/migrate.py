@@ -48,27 +48,34 @@ def migrate_field(
         df.join(moves_df, F.col(path_col) == F.col("src_path"))
         .select("dst_path", F.col(value_col).alias("__moved"))
         .filter(F.col("__moved").isNotNull())
-        # one source value per destination: two moves targeting the same
-        # dst_path (or duplicate source rows) would otherwise fan out the
-        # left join below, duplicating destination rows — the reference
-        # moves exactly one value per destination row. Deterministic pick:
-        # the smallest value (min_by keeps the aggregate map-side).
-        .groupBy("dst_path")
-        .agg(F.min_by(F.col("__moved"), F.col("__moved")).alias("__moved"))
     )
+    # Resolve ONE winning value per destination PATH VALUE, not per
+    # destination pattern: overlapping wildcard patterns ('\\A\\*' and
+    # '\\A\\B\\*' both matching '\\A\\B\\C\\') or two moves to the same
+    # dst_path would otherwise fan out the left join and duplicate
+    # destination rows — the reference moves exactly one value per
+    # destination row. The pattern-match join runs against the DISTINCT
+    # path values (dimension-sized), then min_by picks deterministically
+    # and the fact-side join is a plain fan-out-free equi-join.
     is_wild = F.col("dst_path").endswith("*")
     prefix = F.expr("substring(dst_path, 1, length(dst_path) - 1)")
-    matched = df.join(
-        F.broadcast(src_vals),
-        F.when(
-            is_wild,
-            F.col(path_col).startswith(prefix) & (F.col(path_col) != prefix),
-        ).otherwise(F.col(path_col) == F.col("dst_path")),
-        "left",
+    dst_vals = (
+        df.select(F.col(path_col)).distinct()
+        .join(
+            F.broadcast(src_vals),
+            F.when(
+                is_wild,
+                F.col(path_col).startswith(prefix) & (F.col(path_col) != prefix),
+            ).otherwise(F.col(path_col) == F.col("dst_path")),
+        )
+        .groupBy(path_col)
+        .agg(F.min_by(F.col("__moved"), F.col("__moved")).alias("__moved"))
     )
-    out = matched.withColumn(
-        value_col, F.coalesce(F.col("__moved"), F.col(value_col))
-    ).drop("__moved", "dst_path")
+    out = (
+        df.join(F.broadcast(dst_vals), path_col, "left")
+        .withColumn(value_col, F.coalesce(F.col("__moved"), F.col(value_col)))
+        .drop("__moved")
+    )
     if drop_sources:
         out = out.join(
             moves_df.select(F.col("src_path").alias(path_col)), path_col, "left_anti"

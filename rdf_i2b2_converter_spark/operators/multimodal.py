@@ -115,12 +115,20 @@ def decode_bmp(content: bytes) -> list[float]:
 def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[float]:
     """Real decode for WAV PCM and 24-bit BMP (magic-byte sniffed); other
     codecs need external libraries not present in this container — those
-    raise unless ``fake=True`` (deterministic test double)."""
+    raise unless ``fake=True``. fake=True is TOTAL: it never raises, even
+    for sniffed-but-unsupported variants (float WAV, compressed BMP,
+    magic-colliding blobs) — it is the never-crash plumbing path a 100 TB
+    ingest leans on, so a malformed asset must not kill the Spark job."""
     content = content or b""
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        return decode_wav(content)
-    if content[:2] == b"BM":
-        return decode_bmp(content)
+    try:
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return decode_wav(content)
+        if content[:2] == b"BM":
+            return decode_bmp(content)
+    except ValueError:
+        if not fake:
+            raise
+        return _fake_features(content)
     if not fake:
         raise NotImplementedError(
             f"no stdlib decoder for this {modality} payload (only WAV PCM and "

@@ -86,18 +86,22 @@ _PREFIX_RE = re.compile(
 _BASE_RE = re.compile(r"^\s*(?:@base|BASE)\s+<[^>]*>\s*\.?\s*$", re.IGNORECASE)
 
 #: Turtle-line lexer. Order matters: IRIs and literals first so '<', '"'
-#: runs never tokenize as pnames; 'a' only when delimited.
+#: runs never tokenize as pnames; 'a' only when delimited. Names may
+#: contain '.' INTERNALLY but never consume a trailing one — per the
+#: grammar (PN_LOCAL cannot end with '.', DECIMAL needs digits after it),
+#: so `ex:b.` lexes as pname `ex:b` + statement terminator, not a
+#: dot-terminated pname that swallows the '.' and kills the statement.
 _TTL_TOKEN_RE = re.compile(
     r"""
     (?P<iri><[^>]*>)
   | (?P<literal>"(?:[^"\\]|\\.)*")
-  | (?P<dt>\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]+))
+  | (?P<dt>\^\^(?:<[^>]*>|[A-Za-z][\w-]*(?:\.[\w-]+)*:[\w-]+(?:\.[\w-]+)*))
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
-  | (?P<blank>_:[\w.-]+)
+  | (?P<blank>_:[\w-]+(?:\.[\w-]+)*)
   | (?P<boolean>\b(?:true|false)\b)
-  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<a>\ba\b)
-  | (?P<pname>[A-Za-z][\w.-]*:[\w%/#.-]*)
+  | (?P<pname>[A-Za-z][\w-]*(?:\.[\w-]+)*:(?:[\w%/#-]+(?:\.[\w%/#-]+)*)?)
   | (?P<punct>[;,.])
   | (?P<comment>\#.*)
   | (?P<ws>\s+)
@@ -170,13 +174,15 @@ def _parse_turtle_line(line: str, prefixes: dict[str, str], expand: bool):
             return text, "xsd:string", None
         if kind == "number":
             pos += 1
-            dt = "xsd:integer" if re.fullmatch(r"[+-]?\d+", val) else (
-                "xsd:double" if ("e" in val or "E" in val) else "xsd:decimal"
+            local = "integer" if re.fullmatch(r"[+-]?\d+", val) else (
+                "double" if ("e" in val or "E" in val) else "decimal"
             )
-            return val, dt, None
+            # expand mode: full XSD IRI, consistent with expanded ^^xsd:*
+            # datatypes (one namespace spelling per column, not two)
+            return val, (XSD_NS + local if expand else "xsd:" + local), None
         if kind == "boolean":
             pos += 1
-            return val, "xsd:boolean", None
+            return val, (XSD_NS + "boolean" if expand else "xsd:boolean"), None
         raise ValueError(f"expected term, got {kind}={val!r}")
 
     out = []
@@ -214,7 +220,10 @@ def turtle_prefixes(spark: SparkSession, path: str) -> dict[str, str]:
     same small-side reasoning as a broadcast-join build side."""
     rows = (
         spark.read.text(path)
-        .filter(F.col("value").rlike(r"^\s*(@prefix|PREFIX)\s"))
+        # (?i): the directive keyword is case-insensitive (matching
+        # _PREFIX_RE) — a filter stricter than the parser's skip rule would
+        # silently lose the prefix while still skipping the line
+        .filter(F.col("value").rlike(r"(?i)^\s*(@prefix|prefix)\s"))
         .collect()
     )
     prefixes: dict[str, str] = {}

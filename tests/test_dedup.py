@@ -138,15 +138,19 @@ def test_simhash_md5_variant_matches_bit_convention(spark):
 
 def test_lsh_giant_bucket_cap_prevents_pair_blowup(spark):
     """A degenerate corpus (1k identical boilerplate docs) would emit ~500k
-    candidate pairs; the bucket cap drops the degenerate buckets instead.
-    Distinct docs sharing no band with the boilerplate are unaffected."""
+    candidate pairs; capped buckets are star-linked to the bucket's min id
+    instead — the cluster stays CONNECTED (n-1 hub pairs a downstream CC
+    recovers) without the n^2 pair set. Distinct docs sharing no band with
+    the boilerplate are unaffected."""
     boiler = [(i, "all rights reserved copyright page footer text") for i in range(1000)]
     real = [(2000, "spark shuffles partition data by key"), (2001, "spark shuffles partition data by key column")]
     df = spark.createDataFrame(boiler + real, "doc_id long, text string")
     pairs = lsh_candidate_pairs(df, n_hashes=8, n_bands=4, max_bucket_size=100)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    assert all(a >= 2000 and b >= 2000 for a, b in got), sorted(got)[:5]
     assert (2000, 2001) in got
+    star = {p for p in got if p[1] < 2000}
+    assert star == {(0, k) for k in range(1, 1000)}  # hub = min id, n-1 pairs
+    assert len(got) < 1100  # nowhere near the ~500k all-pairs blowup
     # uncapped on the same corpus really is the n^2 blowup the cap prevents
     uncapped = lsh_candidate_pairs(df, n_hashes=8, n_bands=4, max_bucket_size=None)
     assert uncapped.count() >= 1000 * 999 // 2

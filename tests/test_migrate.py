@@ -90,3 +90,22 @@ def test_generate_xml_full_template(spark):
     assert "<MaxStringLength></MaxStringLength>" in out  # None -> tag untouched
     assert out.startswith("<?xml version='1.0'?><ValueMetadata>")
     assert "<Oktousevalues>Y</Oktousevalues>" in out
+
+
+def test_migrate_field_overlapping_wildcards_no_fanout(spark):
+    """Review r2: a destination row matching TWO overlapping wildcard
+    patterns must stay ONE row (deterministic min value), not fan out."""
+    from rdf_i2b2_converter_spark.operators.migrate import migrate_field
+
+    df = spark.createDataFrame(
+        [
+            ("\\A\\", "vA"),
+            ("\\A\\B\\", "vB"),
+            ("\\A\\B\\C\\", None),  # matches both '\A\*' and '\A\B\*'
+        ],
+        "path string, xml string",
+    )
+    out = migrate_field(df, [("\\A\\", "\\A\\*"), ("\\A\\B\\", "\\A\\B\\*")], "path", "xml")
+    rows = out.collect()
+    assert len(rows) == 1  # sources dropped, one destination row
+    assert rows[0]["path"] == "\\A\\B\\C\\" and rows[0]["xml"] == "vA"  # min of {vA, vB}

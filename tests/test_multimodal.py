@@ -105,3 +105,23 @@ def test_extract_features_mixed_real_and_fake(spark):
     # at least one real wav (sample_rate slot) and one real bmp (bpp slot)
     assert any(f[0] == 16000.0 for f in feats.values())
     assert any(f[2] == 24.0 for f in feats.values())
+
+
+def test_decode_asset_fake_is_total(spark):
+    """Review r2: fake=True must NEVER raise — a magic-colliding or
+    unsupported-variant payload falls back to the deterministic double;
+    fake=False still surfaces the ValueError."""
+    import pytest as _pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_asset
+
+    corrupt_bmp = b"BM" + b"\x00" * 10          # too short / malformed
+    float_wav = (b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE"
+                 + b"fmt " + b"\x10\x00\x00\x00"
+                 + b"\x03\x00\x01\x00" + b"\x80\x3e\x00\x00" + b"\x00\x7d\x00\x00"
+                 + b"\x04\x00\x20\x00"
+                 + b"data" + b"\x00\x00\x00\x00")  # IEEE float, unsupported
+    for payload in (corrupt_bmp, float_wav):
+        assert len(decode_asset(payload, "x", fake=True)) == 8
+        with _pytest.raises(ValueError):
+            decode_asset(payload, "x")

@@ -97,9 +97,11 @@ def test_read_turtle_subset(spark, tmp_path):
             "http://www.w3.org/2001/XMLSchema#double", None) in rows
     assert (f"{RES}obs1", f"{SPHN}hasValue", "8.1",
             "http://www.w3.org/2001/XMLSchema#double", None) in rows
-    # bare numerics
-    assert (f"{RES}obs1", f"{SPHN}hasCount", "42", "xsd:integer", None) in rows
-    assert (f"{RES}obs1", f"{SPHN}hasRatio", "0.5", "xsd:decimal", None) in rows
+    # bare numerics: full XSD IRIs in expand mode (consistent with the
+    # expanded ^^xsd:* datatype spelling)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert (f"{RES}obs1", f"{SPHN}hasCount", "42", f"{XSD}integer", None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasRatio", "0.5", f"{XSD}decimal", None) in rows
     # blank nodes both positions
     assert ("_:b1", f"{SPHN}memberOf", f"{RES}obs1", None, None) in rows
     assert (f"{RES}obs1", f"{SPHN}hasUnit", "_:b1", None, None) in rows
@@ -160,3 +162,41 @@ def test_blank_node_ntriples_roundtrip(spark, tmp_path):
     back = read_ntriples(spark, out)
     got = {(r["s"], r["p"], r["o"]) for r in back.collect()}
     assert got == {("_:bn1", "kg:partOf", "kg:whole"), ("kg:whole", "kg:hasPart", "_:bn1")}
+
+
+def test_turtle_no_space_before_terminator(spark, tmp_path):
+    """Review r2: `ex:b.`, `5.`, `_:b1.` must lex as term + terminator —
+    real-world serializers omit the space before the final dot."""
+    f = tmp_path / "tight.ttl"
+    f.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:a ex:p ex:b.\n"
+        "ex:a ex:n 5.\n"
+        "ex:a ex:k _:b1.\n"
+        'ex:a ex:s "x".\n'
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    assert rows == {
+        ("ex:a", "ex:p", "ex:b"),
+        ("ex:a", "ex:n", "5"),
+        ("ex:a", "ex:k", "_:b1"),
+        ("ex:a", "ex:s", "x"),
+    }
+    assert scan_turtle_errors(spark, str(f)).count() == 0
+
+
+def test_turtle_prefix_directive_case_insensitive(spark, tmp_path):
+    """Review r2: 'prefix'/'PREFIX'/'@PREFIX' directives must land in the
+    prefix map (the parser already skipped them case-insensitively)."""
+    f = tmp_path / "pfx.ttl"
+    f.write_text(
+        "prefix ex: <http://ex.org/>\n"
+        "@PREFIX oth: <http://oth.org/> .\n"
+        "ex:a ex:p oth:b .\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f)).collect()}
+    assert rows == {("http://ex.org/a", "http://ex.org/p", "http://oth.org/b")}
