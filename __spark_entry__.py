@@ -935,7 +935,7 @@ WITH e AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
 

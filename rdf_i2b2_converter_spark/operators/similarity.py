@@ -202,6 +202,9 @@ def cosine_near_dup_pairs(
     path for bounded inputs). Either way, oversized blocks split into the
     exact B x B sub-bucket grid (same machinery as pairwise_topk_per_label)
     so no single task goes quadratic in the block size."""
+    if n_planes and dim is None:
+        raise ValueError("cosine_near_dup_pairs: dim is required when n_planes is set "
+                         "(hyperplane signatures need the vector dimension)")
     blk = (
         rh_signature(F.col(vec_col), dim, n_planes)
         if n_planes
@@ -223,15 +226,16 @@ def cosine_near_dup_pairs(
         grid.alias("__pa"), bucket.alias("__pb"),
     )
     pairs = a.join(b, ["__blk", "__pa", "__pb"]).filter(F.col("id_a") < F.col("id_b"))
+    # threshold on the UNROUNDED cosine (rounding first would admit pairs up
+    # to half an ulp-of-round below threshold); round only the emitted column
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.round(
-            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
-            round_digits,
-        ).alias("cos_sim"),
+        cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")).alias("__cos"),
     )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    return scored.filter(F.col("__cos") >= threshold).select(
+        "id_a", "id_b", F.round(F.col("__cos"), round_digits).alias("cos_sim")
+    )
 
 
 def pairwise_topk_per_label(

@@ -98,10 +98,10 @@ _TTL_TOKEN_RE = re.compile(
   | (?P<dt>\^\^(?:<[^>]*>|[A-Za-z][\w-]*(?:\.[\w-]+)*:[\w-]+(?:\.[\w-]+)*))
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<blank>_:[\w-]+(?:\.[\w-]+)*)
-  | (?P<boolean>\b(?:true|false)\b)
+  | (?P<boolean>\b(?:true|false)\b(?!:))
+  | (?P<pname>(?:[A-Za-z][\w-]*(?:\.[\w-]+)*)?:(?:[\w%/#-]+(?:\.[\w%/#-]+)*)?)
   | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<a>\ba\b)
-  | (?P<pname>[A-Za-z][\w-]*(?:\.[\w-]+)*:(?:[\w%/#-]+(?:\.[\w%/#-]+)*)?)
+  | (?P<a>\ba\b(?!:))
   | (?P<punct>[;,.])
   | (?P<comment>\#.*)
   | (?P<ws>\s+)
@@ -111,6 +111,7 @@ _TTL_TOKEN_RE = re.compile(
 )
 
 XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
 def _expand_pname(pname: str, prefixes: dict[str, str], expand: bool) -> str:
@@ -153,7 +154,9 @@ def _parse_turtle_line(line: str, prefixes: dict[str, str], expand: bool):
             return val, None, None
         if kind == "a":
             pos += 1
-            return _expand_pname("rdf:type", {"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"} | prefixes, expand), None, None
+            # per the Turtle grammar 'a' ALWAYS denotes rdf-syntax-ns#type,
+            # even if the corpus re-declares the 'rdf:' prefix
+            return (RDF_NS + "type") if expand else "rdf:type", None, None
         if kind == "pname":
             pos += 1
             return _expand_pname(val, prefixes, expand), None, None
