@@ -163,6 +163,10 @@ def triples_to_ntriples(triples: DataFrame) -> DataFrame:
     pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
     escaped = F.regexp_replace(F.col("obj"), r"\\", r"\\\\")
     escaped = F.regexp_replace(escaped, '"', r"\\\"")
+    # control chars would break the one-statement-per-line format
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\t", r"\\t")
     lit_obj = F.concat(
         F.lit('"'),
         escaped,

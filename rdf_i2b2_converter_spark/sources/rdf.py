@@ -8,15 +8,16 @@ We keep triples columnar:
 - N-Triples: ``spark.read.text`` + built-in regex expressions — JVM-side,
   whole-stage codegen, no Python in the loop. Standard ``_:name`` blank
   nodes supported in subject and object position.
-- Turtle subset (:func:`read_turtle`): prefix directives are collected
-  driver-side (a prefix table is ontology-config-sized); statements are
-  parsed by a vectorized ``mapInPandas`` lexer — one statement per line,
-  with same-line ``;`` predicate-object lists and ``,`` object lists,
-  prefixed names, ``a``, typed/lang literals, bare numeric/boolean
-  literals, and ``_:`` blank nodes. Multiline statements, ``[]`` anonymous
-  bnodes and collections are out of scope — :func:`scan_turtle_errors`
-  surfaces what the subset rejects. This covers the reference's own corpus
-  shapes (SPHN ontology/data dumps are statement-per-line).
+- Turtle (:func:`read_turtle`): FULL Turtle by default — a recursive-
+  descent document parser (multiline statements, ``[]`` anonymous bnodes,
+  ``( ... )`` collections as rdf:first/rest/nil spines, @prefix/@base,
+  long strings) running one file per task inside ``mapInPandas``; single
+  pass, prefixes are document-scoped parser state. ``multiline=False``
+  selects the statement-per-line subset instead — line-SPLITTABLE for
+  huge single-file dumps, also single-scan (workers emit compact pnames +
+  markers; expansion happens Catalyst-side from the prefix rows emitted
+  in the same pass). :func:`scan_turtle_errors` surfaces whatever either
+  mode rejects (fail-soft ingest).
 
 Partition-pruned terminology routing replaces the reference's per-prefix
 side graphs (src/utils.py:148-153).
@@ -82,145 +83,426 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 _PREFIX_RE = re.compile(
     r"^\s*(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*$", re.IGNORECASE
 )
-#: ``@base <iri> .`` — accepted and ignored (we do not resolve relative IRIs)
+#: ``@base <iri> .`` — line-mode only marker (the document parser resolves)
 _BASE_RE = re.compile(r"^\s*(?:@base|BASE)\s+<[^>]*>\s*\.?\s*$", re.IGNORECASE)
 
-#: Turtle-line lexer. Order matters: IRIs and literals first so '<', '"'
-#: runs never tokenize as pnames; 'a' only when delimited. Names may
-#: contain '.' INTERNALLY but never consume a trailing one — per the
-#: grammar (PN_LOCAL cannot end with '.', DECIMAL needs digits after it),
-#: so `ex:b.` lexes as pname `ex:b` + statement terminator, not a
-#: dot-terminated pname that swallows the '.' and kills the statement.
+#: Turtle token stream (shared by the line and document parsers). Order
+#: matters: strings and IRIs first so '<', '"' runs never tokenize as
+#: pnames; directive keywords before lang tags so '@prefix' is not a lang;
+#: pnames before the 'a' keyword (a bare 'a' never matches pname, which
+#: requires a colon) and both 'a' and true/false guarded with (?!:) so
+#: prefixes named 'a'/'true'/'false' lex as pnames. Names may contain '.'
+#: INTERNALLY but never consume a trailing one — per the grammar (PN_LOCAL
+#: cannot end with '.', DECIMAL needs digits after it), so `ex:b.` lexes as
+#: pname `ex:b` + statement terminator.
 _TTL_TOKEN_RE = re.compile(
-    r"""
-    (?P<iri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*")
-  | (?P<dt>\^\^(?:<[^>]*>|[A-Za-z][\w-]*(?:\.[\w-]+)*:[\w-]+(?:\.[\w-]+)*))
+    r'''
+    (?P<longlit>"{3}(?:\\[\s\S]|[^"\\]|"{1,2}(?!"))*"{3})
+  | (?P<longlit1>'{3}(?:\\[\s\S]|[^'\\]|'{1,2}(?!'))*'{3})
+  | (?P<literal>"(?:[^"\\\n]|\\.)*")
+  | (?P<literal1>'(?:[^'\\\n]|\\.)*')
+  | (?P<iri><[^>]*>)
+  | (?P<prefix_kw>(?i:@?prefix\b(?!:)))
+  | (?P<base_kw>(?i:@?base\b(?!:)))
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<dt>\^\^)
   | (?P<blank>_:[\w-]+(?:\.[\w-]+)*)
   | (?P<boolean>\b(?:true|false)\b(?!:))
   | (?P<pname>(?:[A-Za-z][\w-]*(?:\.[\w-]+)*)?:(?:[\w%/#-]+(?:\.[\w%/#-]+)*)?)
   | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<a>\ba\b(?!:))
+  | (?P<bracket>[\[\]()])
   | (?P<punct>[;,.])
-  | (?P<comment>\#.*)
+  | (?P<comment>\#[^\n]*)
   | (?P<ws>\s+)
   | (?P<bad>.)
-""",
+''',
     re.VERBOSE,
 )
 
 XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
+#: plain-literal sentinel datatype (read_ntriples parity — never expanded)
+_PLAIN = "xsd:string"
 
-def _expand_pname(pname: str, prefixes: dict[str, str], expand: bool) -> str:
-    if not expand:
-        return pname
-    pfx, _, local = pname.partition(":")
-    base = prefixes.get(pfx)
-    return base + local if base is not None else pname
+_ESCAPE_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+               '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    r"""Turtle string-escape decoding (\n, \t, \uXXXX, \UXXXXXXXX, ...).
+    Unknown escapes keep the escaped character verbatim."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = s[i + 1]
+        if e == "u" and i + 6 <= n:
+            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            i += 6
+        elif e == "U" and i + 10 <= n:
+            out.append(chr(int(s[i + 2 : i + 10], 16)))
+            i += 10
+        else:
+            out.append(_ESCAPE_MAP.get(e, e))
+            i += 2
+    return "".join(out)
+
+
+def _tokenize(text: str) -> list[tuple[str, str, int]]:
+    """-> [(kind, value, start_offset)], whitespace/comments dropped, the
+    three extra literal spellings folded to kind='literal'."""
+    toks: list[tuple[str, str, int]] = []
+    for m in _TTL_TOKEN_RE.finditer(text):
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        if kind in ("longlit", "longlit1", "literal1"):
+            kind = "literal"
+        toks.append((kind, m.group(), m.start()))
+    return toks
+
+
+class _TurtleError(ValueError):
+    pass
+
+
+_SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class _TurtleParser:
+    """Recursive-descent Turtle parser over the shared token stream —
+    the engine's from-scratch answer to the reference's rdflib front door
+    (GraphParser, src/utils.py:48-75). Handles multiline statements,
+    ``[]`` anonymous bnode property lists, ``( ... )`` collections
+    (emitted as rdf:first/rest/nil spines — what owl:unionOf consumers
+    need, src/rdfwrappers.py:294-322), @prefix/@base directives, long
+    strings, numeric/boolean literals, lang tags and datatypes.
+
+    ``mode``:
+      - ``expand``  — resolve pnames against the (document-scoped) prefix
+        table; synthetic terms ('a', numeric datatypes, list spine) emit
+        full IRIs.
+      - ``compact`` — keep pnames as written; synthetics emit 'rdf:type',
+        'xsd:integer', 'rdf:first', ... (the engine's config spelling).
+      - ``defer``   — pnames stay compact but are MARKED (pn_mask bits
+        s=1,p=2,o=4,dt=8) for later Catalyst-side expansion; synthetics
+        emit full IRIs. This is what makes the splittable line reader
+        single-scan: workers need no prefix table.
+
+    ``allow_structs=False`` (line mode) rejects ``[]``/``()`` — a bnode
+    synthesized independently per line could collide across lines.
+
+    Rows land in ``self.rows`` as (s, p, o, o_datatype, o_lang, pn_mask);
+    plain literals carry the 'xsd:string' sentinel (read_ntriples parity).
+    """
+
+    def __init__(self, toks, prefixes=None, mode="expand", bnode_ns="b",
+                 allow_structs=True, text=""):
+        self.toks = toks
+        self.pos = 0
+        self.prefixes: dict[str, str] = dict(prefixes or {})
+        self.base: str | None = None
+        self.mode = mode
+        self.bnode_ns = bnode_ns
+        self.n_bnodes = 0
+        self.allow_structs = allow_structs
+        self.text = text
+        self.rows: list[tuple] = []
+        self.prefix_rows: list[tuple[str, str]] = []
+        self.errors: list[tuple[int, str]] = []
+
+    # ---- token helpers
+    def _peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None, len(self.text))
+
+    def _next(self):
+        t = self._peek()
+        if self.pos < len(self.toks):
+            self.pos += 1
+        return t
+
+    def _line_of(self, start: int) -> int:
+        return self.text.count("\n", 0, start) + 1
+
+    def _err(self, msg: str, start: int | None = None):
+        if start is None:
+            start = self._peek()[2]
+        raise _TurtleError(f"line {self._line_of(start)}: {msg}")
+
+    # ---- term constructors: a term is (value, deferred_pname_flag)
+    def _std(self, ns_iri: str, pfx: str, local: str):
+        if self.mode == "compact":
+            return (f"{pfx}:{local}", False)
+        return (ns_iri + local, False)
+
+    def _rdf(self, local: str):
+        return self._std(RDF_NS, "rdf", local)
+
+    def _xsd(self, local: str):
+        return self._std(XSD_NS, "xsd", local)
+
+    def _pname_term(self, val: str):
+        if self.mode == "compact":
+            return (val, False)
+        if self.mode == "defer":
+            return (val, True)
+        pfx, _, local = val.partition(":")
+        base = self.prefixes.get(pfx)
+        return (base + local, False) if base is not None else (val, False)
+
+    def _resolve_iri(self, raw: str) -> str:
+        if self.base and not _SCHEME_RE.match(raw):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, raw)
+        return raw
+
+    def _iri_term(self, val: str):
+        return (self._resolve_iri(val[1:-1]), False)
+
+    def _new_bnode(self):
+        self.n_bnodes += 1
+        return (f"_:{self.bnode_ns}{self.n_bnodes}", False)
+
+    def emit(self, s, p, o, dt=None, lang=None):
+        mask = (
+            (1 if s[1] else 0)
+            | (2 if p[1] else 0)
+            | (4 if o[1] else 0)
+            | (8 if dt is not None and dt[1] else 0)
+        )
+        self.rows.append((s[0], p[0], o[0], dt[0] if dt else None, lang, mask))
+
+    # ---- grammar
+    def _literal_any(self, kind):
+        """literal/number/boolean -> (text, dt_term, lang)."""
+        _, val, start = self._next()
+        if kind == "number":
+            local = (
+                "integer" if re.fullmatch(r"[+-]?\d+", val)
+                else ("double" if "e" in val.lower() else "decimal")
+            )
+            return val, self._xsd(local), None
+        if kind == "boolean":
+            return val, self._xsd("boolean"), None
+        body = val[3:-3] if val[:3] in ('"""', "'''") else val[1:-1]
+        text = _unescape(body)
+        k2, v2, _ = self._peek()
+        if k2 == "dt":
+            self._next()
+            k3, v3, s3 = self._next()
+            if k3 == "iri":
+                return text, self._iri_term(v3), None
+            if k3 == "pname":
+                return text, self._pname_term(v3), None
+            self._err(f"expected datatype IRI after '^^', got {v3!r}", s3)
+        if k2 == "lang":
+            self._next()
+            return text, (_PLAIN, False), v2[1:]
+        return text, (_PLAIN, False), None
+
+    def _resource(self, role: str):
+        kind, val, start = self._peek()
+        if kind == "iri":
+            self._next()
+            return self._iri_term(val)
+        if kind == "pname":
+            self._next()
+            return self._pname_term(val)
+        if kind == "a" and role == "verb":
+            self._next()
+            # per the grammar 'a' ALWAYS denotes rdf-syntax-ns#type, even
+            # if the corpus re-declares the 'rdf:' prefix
+            return self._rdf("type")
+        if role == "subject":
+            if kind == "blank":
+                self._next()
+                return (val, False)
+            if kind == "bracket" and val == "(":
+                return self._collection()
+        self._err(f"expected {role}, got {kind}={val!r}", start)
+
+    def _object(self):
+        """-> (o_term, dt_term_or_None, lang_or_None)."""
+        kind, val, start = self._peek()
+        if kind == "iri":
+            self._next()
+            return self._iri_term(val), None, None
+        if kind == "pname":
+            self._next()
+            return self._pname_term(val), None, None
+        if kind == "blank":
+            self._next()
+            return (val, False), None, None
+        if kind == "bracket" and val == "[":
+            return self._bnode_prop_list(), None, None
+        if kind == "bracket" and val == "(":
+            return self._collection(), None, None
+        if kind in ("literal", "number", "boolean"):
+            text, dt, lang = self._literal_any(kind)
+            return (text, False), dt, lang
+        self._err(f"expected object term, got {kind}={val!r}", start)
+
+    def _expect_bracket(self, want: str):
+        kind, val, start = self._next()
+        if kind != "bracket" or val != want:
+            self._err(f"expected {want!r}, got {kind}={val!r}", start)
+
+    def _bnode_prop_list(self):
+        if not self.allow_structs:
+            self._err("'[' anonymous bnodes need the multiline (document) reader")
+        self._expect_bracket("[")
+        b = self._new_bnode()
+        k, v, _ = self._peek()
+        if not (k == "bracket" and v == "]"):
+            self._predicate_object_list(b)
+        self._expect_bracket("]")
+        return b
+
+    def _collection(self):
+        if not self.allow_structs:
+            self._err("'(' collections need the multiline (document) reader")
+        self._expect_bracket("(")
+        items = []
+        while True:
+            kind, val, start = self._peek()
+            if kind is None:
+                self._err("unterminated '(' collection", start)
+            if kind == "bracket" and val == ")":
+                self._next()
+                break
+            items.append(self._object())
+        if not items:
+            return self._rdf("nil")
+        nodes = [self._new_bnode() for _ in items]
+        for i, ((o, dt, lang), node) in enumerate(zip(items, nodes)):
+            self.emit(node, self._rdf("first"), o, dt, lang)
+            nxt = nodes[i + 1] if i + 1 < len(nodes) else self._rdf("nil")
+            self.emit(node, self._rdf("rest"), nxt)
+        return nodes[0]
+
+    def _predicate_object_list(self, s):
+        while True:
+            p = self._resource("verb")
+            while True:
+                o, dt, lang = self._object()
+                self.emit(s, p, o, dt, lang)
+                k, v, _ = self._peek()
+                if k == "punct" and v == ",":
+                    self._next()
+                    continue
+                break
+            k, v, _ = self._peek()
+            if k == "punct" and v == ";":
+                while self._peek()[:2] == ("punct", ";"):  # ';' runs are legal
+                    self._next()
+                k2, _v2, _ = self._peek()
+                if k2 in ("iri", "pname", "a"):
+                    continue
+            break
+
+    def _statement(self):
+        kind, val, start = self._peek()
+        if kind == "bad":
+            self._err(f"unexpected character {val!r}", start)
+        if kind == "bracket" and val == "[":
+            s = self._bnode_prop_list()
+            k, v, _ = self._peek()
+            if not (k == "punct" and v == "."):
+                self._predicate_object_list(s)
+        else:
+            s = self._resource("subject")
+            self._predicate_object_list(s)
+        k, v, st = self._peek()
+        if k == "punct" and v == ".":
+            self._next()
+        else:
+            self._err(f"expected ';' ',' or '.', got {k}={v!r}", st)
+
+    def _directive(self):
+        kw, _, _ = self._next()
+        if kw == "prefix_kw":
+            k, v, st = self._next()
+            if k != "pname" or not v.endswith(":") or v.count(":") != 1:
+                self._err(f"expected 'p:' prefix label, got {v!r}", st)
+            pfx = v[:-1]
+            k2, v2, st2 = self._next()
+            if k2 != "iri":
+                self._err(f"expected IRI in prefix directive, got {v2!r}", st2)
+            iri = self._resolve_iri(v2[1:-1])
+            self.prefixes[pfx] = iri
+            self.prefix_rows.append((pfx, iri))
+        else:
+            k, v, st = self._next()
+            if k != "iri":
+                self._err(f"expected IRI in base directive, got {v!r}", st)
+            self.base = self._resolve_iri(v[1:-1])
+        if self._peek()[:2] == ("punct", "."):
+            self._next()
+
+    def document(self):
+        """Whole-document parse, fail-soft: a bad statement is recorded in
+        ``self.errors`` (with its line), its partial rows rolled back, and
+        parsing resyncs past the next '.' — one lost statement, not a lost
+        100 TB ingest."""
+        while self.pos < len(self.toks):
+            kind, _val, start = self._peek()
+            n_rows = len(self.rows)
+            try:
+                if kind in ("prefix_kw", "base_kw"):
+                    self._directive()
+                else:
+                    self._statement()
+            except _TurtleError as e:
+                del self.rows[n_rows:]
+                self.errors.append((self._line_of(start), str(e)))
+                while self.pos < len(self.toks):  # resync past next '.'
+                    k, v, _ = self._next()
+                    if k == "punct" and v == ".":
+                        break
+
+    def statement_line(self):
+        """Line mode: exactly one statement, full token consumption."""
+        if not self.toks:
+            return
+        self._statement()
+        if self.pos != len(self.toks):
+            self._err(
+                f"trailing tokens after '.': {[t[1] for t in self.toks[self.pos:]]!r} "
+                "(one statement per line)"
+            )
 
 
 def _parse_turtle_line(line: str, prefixes: dict[str, str], expand: bool):
     """One Turtle statement line -> list of (s, p, o, o_datatype, o_lang).
 
-    Raises ValueError on anything outside the supported subset (the caller
+    Raises ValueError on anything outside the line subset (the caller
     decides whether to fail or route to the error scan)."""
-    toks: list[tuple[str, str]] = []
-    for m in _TTL_TOKEN_RE.finditer(line):
-        kind = m.lastgroup
-        if kind in ("ws", "comment"):
-            continue
-        if kind == "bad":
-            raise ValueError(f"unexpected character {m.group()!r}")
-        toks.append((kind, m.group()))
+    toks = _tokenize(line)
     if not toks:
         return []
-
-    pos = 0
-
-    def peek():
-        return toks[pos] if pos < len(toks) else (None, None)
-
-    def term(allow_literal: bool):
-        nonlocal pos
-        kind, val = peek()
-        if kind == "iri":
-            pos += 1
-            return val[1:-1], None, None
-        if kind == "blank":
-            pos += 1
-            return val, None, None
-        if kind == "a":
-            pos += 1
-            # per the Turtle grammar 'a' ALWAYS denotes rdf-syntax-ns#type,
-            # even if the corpus re-declares the 'rdf:' prefix
-            return (RDF_NS + "type") if expand else "rdf:type", None, None
-        if kind == "pname":
-            pos += 1
-            return _expand_pname(val, prefixes, expand), None, None
-        if not allow_literal:
-            raise ValueError(f"expected resource term, got {kind}={val!r}")
-        if kind == "literal":
-            pos += 1
-            text = val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-            dkind, dval = peek()
-            if dkind == "dt":
-                pos += 1
-                dt = dval[2:]
-                dt = dt[1:-1] if dt.startswith("<") else _expand_pname(dt, prefixes, expand)
-                return text, dt, None
-            if dkind == "lang":
-                pos += 1
-                return text, "xsd:string", dval[1:]
-            return text, "xsd:string", None
-        if kind == "number":
-            pos += 1
-            local = "integer" if re.fullmatch(r"[+-]?\d+", val) else (
-                "double" if ("e" in val or "E" in val) else "decimal"
-            )
-            # expand mode: full XSD IRI, consistent with expanded ^^xsd:*
-            # datatypes (one namespace spelling per column, not two)
-            return val, (XSD_NS + local if expand else "xsd:" + local), None
-        if kind == "boolean":
-            pos += 1
-            return val, (XSD_NS + "boolean" if expand else "xsd:boolean"), None
-        raise ValueError(f"expected term, got {kind}={val!r}")
-
-    out = []
-    s, _, _ = term(allow_literal=False)
-    while True:
-        p, _, _ = term(allow_literal=False)
-        while True:
-            o, dt, lang = term(allow_literal=True)
-            out.append((s, p, o, dt, lang))
-            kind, val = peek()
-            if kind == "punct" and val == ",":
-                pos += 1
-                continue
-            break
-        kind, val = peek()
-        if kind == "punct" and val == ";":
-            pos += 1
-            # tolerate trailing ';' before '.'
-            if peek() == ("punct", "."):
-                pos += 1
-                break
-            continue
-        if kind == "punct" and val == ".":
-            pos += 1
-            break
-        raise ValueError(f"expected ';' ',' or '.', got {kind}={val!r}")
-    if pos != len(toks):
-        raise ValueError(f"trailing tokens after '.': {toks[pos:]!r} (one statement per line)")
-    return out
+    p = _TurtleParser(
+        toks,
+        prefixes=prefixes,
+        mode="expand" if expand else "compact",
+        allow_structs=False,
+        text=line,
+    )
+    p.statement_line()
+    return [r[:5] for r in p.rows]
 
 
 def turtle_prefixes(spark: SparkSession, path: str) -> dict[str, str]:
-    """Collect the prefix table driver-side: prefix directives are a
-    config-sized handful per corpus; a filtered text scan + collect is the
-    same small-side reasoning as a broadcast-join build side."""
+    """Collect the prefix table driver-side (diagnostics / line-mode error
+    scan): prefix directives are a config-sized handful per corpus."""
     rows = (
         spark.read.text(path)
         # (?i): the directive keyword is case-insensitive (matching
@@ -237,49 +519,162 @@ def turtle_prefixes(spark: SparkSession, path: str) -> dict[str, str]:
     return prefixes
 
 
-def read_turtle(spark: SparkSession, path: str, expand_prefixes: bool = True) -> DataFrame:
-    """Turtle-subset file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang).
+_TRIPLE_SCHEMA = "s string, p string, o string, o_datatype string, o_lang string"
+_TRIPLE_COLS = ["s", "p", "o", "o_datatype", "o_lang"]
 
-    Two passes, both line-splittable: (1) driver-side prefix collection
-    (:func:`turtle_prefixes`), (2) vectorized ``mapInPandas`` statement
-    parsing with the broadcast prefix map — the ttl2nt converter shape
-    recommended for the reference's own .ttl corpora (GraphParser,
-    src/utils.py:48-75). Unparseable lines are skipped here and surfaced by
-    :func:`scan_turtle_errors` (fail-soft, same posture as read_ntriples).
 
-    ``expand_prefixes``: True resolves prefixed names to full IRIs
-    (rdflib-parity); False keeps the compact ``p:local`` form the engine's
-    configs use. Plain literals carry the 'xsd:string' sentinel datatype
-    either way (read_ntriples parity)."""
+def _expand_col(name: str, bit: int, prefixes: dict[str, str]):
+    """Catalyst-side pname expansion for the deferred line reader: value is
+    expanded iff its pn_mask bit is set and its prefix is declared (prefix
+    labels contain no ':', so `startswith(pfx + ':')` is unambiguous and
+    order-free). Undeclared prefixes stay compact — parser parity."""
+    col = F.col(name)
+    marked = F.col("pn_mask").bitwiseAND(F.lit(bit)) != 0
+    expr = col
+    for pfx, iri in prefixes.items():
+        expr = F.when(
+            marked & col.startswith(pfx + ":"),
+            F.concat(F.lit(iri), F.substring(col, len(pfx) + 2, 2147483647)),
+        ).otherwise(expr)
+    return expr.alias(name)
+
+
+def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) -> DataFrame:
+    """Statement-per-line Turtle — the SPLITTABLE scale path (a 100 TB
+    single-file dump parallelizes by line ranges). SINGLE text scan:
+    workers parse with compact pnames + pn_mask markers and emit prefix
+    directives as tagged rows in the same pass; expansion happens
+    Catalyst-side from the collected (tiny) prefix table. In expand mode
+    the parsed columnar output is localCheckpoint'ed once — the price of
+    the single scan is one materialization of the PARSED triples (much
+    smaller than the raw text), not a second pass over the corpus."""
     import pandas as pd
 
-    prefixes = turtle_prefixes(spark, path)
-    bc = spark.sparkContext.broadcast((prefixes, expand_prefixes))
     lines = spark.read.text(path)
+    mode = "defer" if expand_prefixes else "compact"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pfx, expand = bc.value
-        cols = ["s", "p", "o", "o_datatype", "o_lang"]
+        cols = ["kind", *_TRIPLE_COLS, "pn_mask"]
         for pdf in batches:
             rows: list[tuple] = []
             for line in pdf["value"]:
-                if not line or _PREFIX_RE.match(line) or _BASE_RE.match(line):
+                if not line:
                     continue
+                m = _PREFIX_RE.match(line)
+                if m:
+                    rows.append(("p", m.group(1) or "", None, m.group(2), None, None, 0))
+                    continue
+                if _BASE_RE.match(line):
+                    continue
+                toks = _tokenize(line)
+                if not toks:
+                    continue
+                parser = _TurtleParser(toks, mode=mode, allow_structs=False, text=line)
                 try:
-                    rows.extend(_parse_turtle_line(line, pfx, expand))
+                    parser.statement_line()
                 except ValueError:
                     continue  # surfaced by scan_turtle_errors
+                rows.extend(("t", *r) for r in parser.rows)
             yield pd.DataFrame(rows, columns=cols)
 
-    return lines.mapInPandas(
-        parse, schema="s string, p string, o string, o_datatype string, o_lang string"
+    parsed = lines.mapInPandas(parse, schema=f"kind string, {_TRIPLE_SCHEMA}, pn_mask int")
+    if not expand_prefixes:
+        return parsed.filter(F.col("kind") == "t").select(*_TRIPLE_COLS)
+    parsed = parsed.localCheckpoint(eager=True)
+    prefixes = {
+        r["s"]: r["o"]
+        for r in parsed.filter(F.col("kind") == "p").select("s", "o").collect()
+    }
+    return parsed.filter(F.col("kind") == "t").select(
+        _expand_col("s", 1, prefixes),
+        _expand_col("p", 2, prefixes),
+        _expand_col("o", 4, prefixes),
+        _expand_col("o_datatype", 8, prefixes),
+        F.col("o_lang"),
     )
 
 
-def scan_turtle_errors(spark: SparkSession, path: str) -> DataFrame:
-    """Lines the Turtle subset cannot parse (multiline statements, '[]'
-    bnodes, collections) — report, don't crash the 100 TB ingest."""
+def _read_turtle_documents(spark: SparkSession, path: str, expand_prefixes: bool) -> DataFrame:
+    """Full Turtle — one whole file per task (``wholetext``), the same
+    non-splittable trade Spark itself makes for multiLine JSON/CSV;
+    parallelism comes from the file count (CC-style corpora are many
+    files). Single pass: prefixes are document-scoped state inside the
+    parser — no driver collect, no second scan. Synthesized bnode labels
+    are namespaced by a hash of the file path so labels never collide
+    across files in one read."""
+    import hashlib
+
     import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    mode = "expand" if expand_prefixes else "compact"
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for file, text in zip(pdf["file"], pdf["value"]):
+                seed = hashlib.md5(str(file).encode()).hexdigest()[:8]
+                parser = _TurtleParser(
+                    _tokenize(text), mode=mode, bnode_ns=f"g{seed}x", text=text
+                )
+                parser.document()  # fail-soft; errors via scan_turtle_errors
+                rows.extend(r[:5] for r in parser.rows)
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    return files.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
+
+
+def read_turtle(
+    spark: SparkSession,
+    path: str,
+    expand_prefixes: bool = True,
+    multiline: bool = True,
+) -> DataFrame:
+    """Turtle file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang).
+
+    ``multiline=True`` (default): FULL Turtle via the document parser —
+    multiline statements, ``[]`` anonymous bnodes, ``( ... )`` collections
+    (emitted as rdf:first/rest/nil spines for the rdfq list expansion,
+    operators/rdfq.py:38), long strings, @base. rdflib front-door parity
+    (GraphParser, src/utils.py:48-75). One task per file.
+
+    ``multiline=False``: the statement-per-line subset — line-SPLITTABLE
+    (the 100 TB single-file path) and single-scan via deferred pname
+    expansion. Unparseable lines are skipped here and surfaced by
+    :func:`scan_turtle_errors` (fail-soft, same posture as read_ntriples).
+
+    ``expand_prefixes``: True resolves prefixed names to full IRIs
+    (rdflib parity); False keeps the compact ``p:local`` form the engine's
+    configs use. Plain literals carry the 'xsd:string' sentinel datatype
+    either way (read_ntriples parity)."""
+    if multiline:
+        return _read_turtle_documents(spark, path, expand_prefixes)
+    return _read_turtle_lines(spark, path, expand_prefixes)
+
+
+def scan_turtle_errors(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """What the Turtle reader could not parse — report, don't crash the
+    100 TB ingest. Document mode: one row per failed statement
+    ('file:line', error); line mode: one row per rejected line."""
+    import pandas as pd
+
+    if multiline:
+        files = spark.read.text(path, wholetext=True).select(
+            F.input_file_name().alias("file"), "value"
+        )
+
+        def check_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bad: list[tuple[str, str]] = []
+                for file, text in zip(pdf["file"], pdf["value"]):
+                    parser = _TurtleParser(_tokenize(text), mode="expand", text=text)
+                    parser.document()
+                    bad.extend((f"{file}:{ln}", msg) for ln, msg in parser.errors)
+                yield pd.DataFrame(bad, columns=["value", "error"])
+
+        return files.mapInPandas(check_docs, schema="value string, error string")
 
     prefixes = turtle_prefixes(spark, path)
     bc = spark.sparkContext.broadcast(prefixes)

@@ -111,18 +111,21 @@ def test_read_turtle_subset(spark, tmp_path):
 
 
 def test_read_turtle_compact_mode_and_errors(spark, tmp_path):
+    """Line mode (multiline=False): []/multiline are out of the splittable
+    subset and surface in the error scan; the document parser covers them."""
     f = tmp_path / "g2.ttl"
     f.write_text(
         "@prefix kg: <http://kg.example/> .\n"
         "kg:a kg:p kg:b .\n"
-        "kg:a kg:p [ kg:inner kg:c ] .\n"          # [] bnode: out of subset
-        "kg:a kg:p\n"                                # multiline: out of subset
+        "kg:a kg:p [ kg:inner kg:c ] .\n"          # [] bnode: out of line subset
+        "kg:a kg:p\n"                                # multiline: out of line subset
     )
     from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
 
-    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    rows = {(r["s"], r["p"], r["o"])
+            for r in read_turtle(spark, str(f), expand_prefixes=False, multiline=False).collect()}
     assert rows == {("kg:a", "kg:p", "kg:b")}
-    errs = scan_turtle_errors(spark, str(f))
+    errs = scan_turtle_errors(spark, str(f), multiline=False)
     assert errs.count() == 2
 
 
@@ -200,3 +203,127 @@ def test_turtle_prefix_directive_case_insensitive(spark, tmp_path):
 
     rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f)).collect()}
     assert rows == {("http://ex.org/a", "http://ex.org/p", "http://oth.org/b")}
+
+
+# ------------------------------------------------- full (document) Turtle
+
+
+TTL_FULL = """@prefix ex: <http://ex.org/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@base <http://base.org/dir/> .
+
+# multiline statement with [] bnode and ( ) collection — the owl:unionOf
+# shape real SPHN .ttl files use (src/rdfwrappers.py:294-322)
+ex:hasCode a owl:ObjectProperty ;
+    rdfs:range [
+        a owl:Class ;
+        owl:unionOf ( ex:Code ex:Terminology )
+    ] ;
+    rdfs:label \"\"\"a long
+label\"\"\" .
+
+<rel> ex:near <#frag> .
+ex:opts ex:list ( 1 2.5 true ) .
+[] ex:standalone \"anon subject\" .
+"""
+
+
+def test_read_turtle_document_full(spark, tmp_path):
+    f = tmp_path / "full.ttl"
+    f.write_text(TTL_FULL)
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    df = read_turtle(spark, str(f), expand_prefixes=False)
+    rows = {(r["s"], r["p"], r["o"]) for r in df.collect()}
+    assert ("ex:hasCode", "rdf:type", "owl:ObjectProperty") in rows
+    # [] bnode in the middle of a multiline statement
+    bnode = next(o for (s, p, o) in rows if s == "ex:hasCode" and p == "rdfs:range")
+    assert bnode.startswith("_:")
+    assert (bnode, "rdf:type", "owl:Class") in rows
+    # collection spine reachable from the bnode
+    head = next(o for (s, p, o) in rows if s == bnode and p == "owl:unionOf")
+    firsts = {o for (s, p, o) in rows if p == "rdf:first"}
+    assert {"ex:Code", "ex:Terminology"} <= firsts
+    assert head.startswith("_:")
+    rests = {(s, o) for (s, p, o) in rows if p == "rdf:rest"}
+    assert any(o == "rdf:nil" for _, o in rests)
+    # long string with embedded newline
+    assert ("ex:hasCode", "rdfs:label", "a long\nlabel") in rows
+    # @base resolution of relative IRIs
+    assert ("http://base.org/dir/rel", "ex:near", "http://base.org/dir/#frag") in rows
+    # literal collection items carry datatypes on the rdf:first triples
+    lit_firsts = {
+        (r["o"], r["o_datatype"])
+        for r in df.filter("p = 'rdf:first'").collect()
+    }
+    assert ("1", "xsd:integer") in lit_firsts
+    assert ("2.5", "xsd:decimal") in lit_firsts
+    assert ("true", "xsd:boolean") in lit_firsts
+    # anonymous [] subject
+    assert any(s.startswith("_:") and p == "ex:standalone" for (s, p, o) in rows)
+    assert scan_turtle_errors(spark, str(f)).count() == 0
+
+
+def test_read_turtle_document_expand_and_list_query(spark, tmp_path):
+    """Document parse feeds the rdfq owl:unionOf expansion (C3) — the
+    end-to-end the statement-per-line subset could never deliver."""
+    f = tmp_path / "uni.ttl"
+    f.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:p1 rdfs:range [ owl:unionOf ( ex:A ex:B ex:C ) ] .\n"
+        "ex:p2 rdfs:range ex:D .\n"
+    )
+    from rdf_i2b2_converter_spark.operators.rdfq import property_ranges
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    t = read_turtle(spark, str(f), expand_prefixes=False).withColumn(
+        "o_lang", F.lit(None).cast("string")
+    )
+    got = {(r["prop"], r["range_class"]) for r in property_ranges(t).collect()}
+    assert got == {
+        ("ex:p1", "ex:A"), ("ex:p1", "ex:B"), ("ex:p1", "ex:C"), ("ex:p2", "ex:D"),
+    }
+
+
+def test_read_turtle_document_error_resync(spark, tmp_path):
+    """A bad statement loses only itself: rows before and after survive,
+    the error surfaces with its line number."""
+    f = tmp_path / "bad.ttl"
+    f.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:a ex:p ex:b .\n"
+        "ex:broken ex:q ^^ .\n"
+        "ex:c ex:r ex:d .\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    assert rows == {("ex:a", "ex:p", "ex:b"), ("ex:c", "ex:r", "ex:d")}
+    errs = scan_turtle_errors(spark, str(f)).collect()
+    assert len(errs) == 1 and errs[0]["value"].endswith(":3")
+
+
+def test_read_turtle_default_namespace(spark, tmp_path):
+    """ADVICE r2: '@prefix : <iri> .' default-namespace statements parse in
+    both modes instead of being silently dropped."""
+    f = tmp_path / "dns.ttl"
+    f.write_text("@prefix : <http://d.org/> .\n:s :p :o .\n")
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    for ml in (True, False):
+        rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), multiline=ml).collect()}
+        assert rows == {("http://d.org/s", "http://d.org/p", "http://d.org/o")}, ml
+
+
+def test_read_turtle_line_mode_single_scan_parity(spark, tmp_path):
+    """The deferred-expansion line reader returns the same triples as the
+    document parser on statement-per-line input (both expand modes)."""
+    f = tmp_path / "par.ttl"
+    f.write_text(TTL)
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    for expand in (True, False):
+        doc = {tuple(r) for r in read_turtle(spark, str(f), expand_prefixes=expand).collect()}
+        lin = {tuple(r) for r in read_turtle(spark, str(f), expand_prefixes=expand, multiline=False).collect()}
+        assert doc == lin, expand
