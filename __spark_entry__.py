@@ -1337,6 +1337,56 @@ SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR,
 """
 
 
+def _a1b_turtle_unionof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/C3 — FULL Turtle: synthesize a MULTILINE .ttl (one owl:unionOf
+    '( ... )' collection inside a '[ ]' bnode per nation, real SPHN ontology
+    shape, src/rdfwrappers.py:294-322), parse it with the document parser,
+    then expand the union lists with the rdfq C3 range lookup. Bnode labels
+    drop out in the expansion, so the result is oracle-reproducible."""
+    import os
+    import tempfile
+
+    from rdf_i2b2_converter_spark.operators.rdfq import property_ranges
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    chunks = ["@prefix ex: <http://ex.org/> ."]
+    for r in nat:
+        k = r["n_nationkey"]
+        if k % 2 == 0:  # union range via multiline bnode collection
+            chunks.append(
+                f"ex:prop{k} a ex:Property ;\n"
+                f"    rdfs:range [\n"
+                f"        a owl:Class ;\n"
+                f"        owl:unionOf ( ex:c{k}x ex:c{k}y ex:r{r['n_regionkey']} )\n"
+                f"    ] ."
+            )
+        else:  # direct range
+            chunks.append(f"ex:prop{k} a ex:Property ;\n    rdfs:range ex:d{k} .")
+    d = tempfile.mkdtemp(prefix="ttl_union_")
+    with open(os.path.join(d, "ontology.ttl"), "w") as fh:
+        fh.write("\n".join(chunks) + "\n")
+    t = read_turtle(spark, os.path.join(d, "ontology.ttl"), expand_prefixes=False)
+    return property_ranges(t).select(
+        F.col("prop").alias("prop"), F.col("range_class").alias("range_class")
+    )
+
+
+_A1B_UNIONOF_SQL = """
+WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+u AS (
+  SELECT 'ex:prop' || k AS prop, 'ex:c' || k || 'x' AS range_class FROM n WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'ex:prop' || k, 'ex:c' || k || 'y' FROM n WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'ex:prop' || k, 'ex:r' || r FROM n WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'ex:prop' || k, 'ex:d' || k FROM n WHERE k % 2 = 1
+)
+SELECT DISTINCT prop, range_class FROM u
+"""
+
+
 def _c5_provider_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 star-schema path — the reference's 4-hop provider query feeding
     PROVIDER_DIMENSION (src/starschema.py:65-116): provider instances from
@@ -1398,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sources (A1) + star schema (C5/B3/B4 composite)
         "a1_turtle_scan": _a1_turtle_scan,
+        "a1b_turtle_unionof": _a1b_turtle_unionof,
         "c5_provider_dim": _c5_provider_dim,
         # KG pipeline (north_star semantics)
         "kg_mentions": _kg_mentions,
@@ -1462,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "a1_turtle_scan": _A1_TURTLE_SQL,
+        "a1b_turtle_unionof": _A1B_UNIONOF_SQL,
         "c5_provider_dim": _C5_PROVIDER_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_type_triples": _KG_TYPE_TRIPLES_SQL,
