@@ -26,10 +26,11 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MAX_BASECODE_LENGTH, VALUE_DISPATCH
+from ..functions.ids import dense_id_scalable
 from ..operators.rdfq import RDF_TYPE, class_instances
 
 RDFS_LABEL = "rdfs:label"
@@ -255,10 +256,25 @@ def extract_observations(
         )
 
     obs = tagged.groupBy("root").applyInPandas(run_group, schema=OBS_SCHEMA)
-    # E1: instance numbering per entry class, deterministic order
-    w = Window.partitionBy("class_uri").orderBy("instance_uri")
-    nums = (
-        obs.select("class_uri", "instance_uri").distinct()
-        .withColumn("instance_num", F.row_number().over(w))
+    # E1: instance numbering per entry class, deterministic order. A
+    # per-class row_number window would sort each class in ONE task — with
+    # a handful of entry classes and 10^9 instances per class that's a
+    # serial stage. Instead: range-partitioned global dense ids over
+    # (class, instance) order (functions/ids.dense_id_scalable — every
+    # partition numbers itself), then subtract each class's first global
+    # id. Per-class numbering = global rank within the class because range
+    # partitions are globally ordered; bit-identical to the window form
+    # (asserted in tests/test_data_pipeline.py).
+    gids = dense_id_scalable(
+        obs.select("class_uri", "instance_uri"), ["class_uri", "instance_uri"],
+        id_col="__gid",
     )
-    return obs.join(F.broadcast(nums), ["class_uri", "instance_uri"])
+    class_start = gids.groupBy("class_uri").agg(F.min("__gid").alias("__cmin"))
+    nums = (
+        gids.join(F.broadcast(class_start), "class_uri")
+        .withColumn("instance_num", (F.col("__gid") - F.col("__cmin") + 1).cast("int"))
+        .drop("__gid", "__cmin")
+    )
+    # no broadcast hint: the mapping is one row per INSTANCE — AQE
+    # broadcasts it when small and shuffle-joins when it isn't
+    return obs.join(nums, ["class_uri", "instance_uri"])

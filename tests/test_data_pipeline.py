@@ -4,6 +4,7 @@ hand-computed like the reference's fixture tests (tests/test_dataloader.py).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdf_i2b2_converter_spark.plans.data_pipeline import (
     extract_observations,
@@ -113,3 +114,27 @@ def test_join_key_parity_with_ontology_side(spark, obs):
         chained_code(None, "uri").alias("code")
     )
     assert df.collect()[0]["code"] == reduce_basecode("kg:Diagnosis", "")
+
+
+def test_instance_numbering_matches_window_form(spark, obs):
+    """VERDICT r2 #3: the range-partitioned E1 numbering must be
+    bit-identical to the per-class row_number window, with no per-class
+    single-task sort in the plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("class_uri").orderBy("instance_uri")
+    expect = {
+        (r["class_uri"], r["instance_uri"], r["instance_num"])
+        for r in obs.select("class_uri", "instance_uri").distinct()
+        .withColumn("instance_num", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["class_uri"], r["instance_uri"], r["instance_num"])
+        for r in obs.select("class_uri", "instance_uri", "instance_num").distinct().collect()
+    }
+    assert got == expect
+    # the numbering plan must not window-partition by class_uri (one task
+    # per class); the scalable form windows by the range-partition id
+    plan = obs._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(class_uri" not in plan
+    assert "row_number" in plan  # the per-range-partition numbering window
