@@ -77,6 +77,52 @@ def rh_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def rh_band_signatures(
+    vec_col: Column, dim: int, n_bands: int = 6, band_bits: int = 8
+) -> Column:
+    """Multi-probe banding (the MinHash-LSH OR-amplification trick applied
+    to random-hyperplane signatures): ``n_bands`` INDEPENDENT shorter
+    signatures of ``band_bits`` planes each — a pair is a candidate when
+    ANY band matches, so recall amplifies as 1-(1-p^r)^b instead of the
+    single-signature p^r cliff (VERDICT r2 #4). Returns array<long>; entry
+    b encodes (b << band_bits) | sig_b so equal sig values in different
+    bands can never collide. Band 0 uses the same plane sequence as
+    ``rh_signature`` (plane indices are global and deterministic)."""
+    v = vec_col.cast("array<double>")
+    out = []
+    for b in range(n_bands):
+        sig = F.lit(0).cast("long")
+        for p in range(band_bits):
+            h = F.array(*[F.lit(x) for x in _hyperplane(dim, b * band_bits + p + 1)])
+            sig = sig + F.when(
+                _dot(v, h) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
+        out.append(sig + F.lit(b << band_bits).cast("long"))
+    return F.array(*out)
+
+
+def _py_rh_signature(query_vec: list[float], n_planes: int, plane_offset: int = 0) -> int:
+    import builtins
+
+    dim = len(query_vec)
+    sig = 0
+    for p in range(n_planes):
+        d = builtins.sum(
+            q * h for q, h in zip(query_vec, _hyperplane(dim, plane_offset + p + 1))
+        )
+        if d > 0:
+            sig |= 1 << p
+    return sig
+
+
+def _py_band_signatures(query_vec: list[float], n_bands: int, band_bits: int) -> list[int]:
+    """Driver-side mirror of :func:`rh_band_signatures` for one query."""
+    return [
+        (b << band_bits) | _py_rh_signature(query_vec, band_bits, b * band_bits)
+        for b in range(n_bands)
+    ]
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -84,20 +130,26 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """IVF/LSH-style ANN: filter to vectors whose hyperplane signature is
-    within hamming distance 1 of the query's, then exact-rank the survivors.
-    At scale the signature is a partition/bucket key — the probe touches
-    only ~(n_planes+1)/2^n_planes of the data."""
-    dim = len(query_vec)
-    sig_col = rh_signature(F.col(vec_col), dim, n_planes)
-    import builtins
+    """IVF/LSH-style ANN: filter to signature-matching candidates, then
+    exact-rank the survivors.
 
-    qsig = 0
-    for p in range(n_planes):
-        d = builtins.sum(q * h for q, h in zip(query_vec, _hyperplane(dim, p + 1)))
-        if d > 0:
-            qsig |= 1 << p
+    Default (``n_bands=None``): one ``n_planes``-bit signature, candidates
+    within hamming distance 1 — cheap but recall-poor on unstructured
+    vectors. ``n_bands=b``: b independent ``n_planes``-bit bands, candidate
+    iff ANY band matches exactly (multi-probe OR-amplification) — the
+    recall path; probe cost stays ~b/2^n_planes of the data per band."""
+    dim = len(query_vec)
+    if n_bands:
+        bands_col = rh_band_signatures(F.col(vec_col), dim, n_bands, n_planes)
+        qbands = _py_band_signatures(query_vec, n_bands, n_planes)
+        cand = df.filter(
+            F.arrays_overlap(bands_col, F.array(*[F.lit(x).cast("long") for x in qbands]))
+        )
+        return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+    sig_col = rh_signature(F.col(vec_col), dim, n_planes)
+    qsig = _py_rh_signature(query_vec, n_planes)
     cand = df.withColumn("__sig", sig_col).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= 1
     )
@@ -111,14 +163,25 @@ def build_ann_index(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int | None = None,
 ) -> None:
     """Materialize an IVF/LSH-style index: vectors written as parquet
     PARTITIONED BY their hyperplane-signature bucket. A query then reads
-    only the partitions within the probe's hamming radius — partition
-    pruning does the candidate selection, no full scan, no recomputed
-    signatures. This is the disk layout a 10^9-vector corpus wants; the
-    in-memory ann_topk is the ad-hoc variant."""
-    sig = rh_signature(F.col(vec_col), dim, n_planes).alias("sig_bucket")
+    only the partitions within the probe's reach — partition pruning does
+    the candidate selection, no full scan, no recomputed signatures. This
+    is the disk layout a 10^9-vector corpus wants; the in-memory ann_topk
+    is the ad-hoc variant.
+
+    ``n_bands=b`` writes the multi-probe layout: each vector appears once
+    per band (b× storage), partitioned by the band-encoded signature —
+    the classic LSH index trade of space for recall. ``None`` keeps the
+    single-signature layout."""
+    if n_bands:
+        sig = F.explode(
+            rh_band_signatures(F.col(vec_col), dim, n_bands, n_planes)
+        ).alias("sig_bucket")
+    else:
+        sig = rh_signature(F.col(vec_col), dim, n_planes).alias("sig_bucket")
     df.select(id_col, vec_col, sig).write.mode("overwrite").partitionBy(
         "sig_bucket"
     ).parquet(path)
@@ -126,7 +189,11 @@ def build_ann_index(
     import os
 
     with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
-        json.dump({"dim": dim, "n_planes": n_planes, "vec_col": vec_col, "id_col": id_col}, fh)
+        json.dump(
+            {"dim": dim, "n_planes": n_planes, "n_bands": n_bands,
+             "vec_col": vec_col, "id_col": id_col},
+            fh,
+        )
 
 
 def query_ann_index(
@@ -138,13 +205,15 @@ def query_ann_index(
     hamming_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Probe the materialized index: enumerate the signature buckets within
-    ``hamming_radius`` of the query's signature (a small driver-side set —
-    1 + n_planes buckets at radius 1), scan ONLY those partitions (pruned
-    at planning time via the partition-column filter), exact-rank the
-    survivors."""
-    import builtins
+    ``hamming_radius`` of the query's signature(s) (a small driver-side
+    set), scan ONLY those partitions (pruned at planning time via the
+    partition-column filter), exact-rank the survivors. For a banded index
+    the radius applies WITHIN each band (multi-probe: every band's exact
+    bucket plus its 1-bit flips); a vector reached through several bands
+    is deduplicated before ranking."""
     import json
     import os
 
@@ -161,22 +230,34 @@ def query_ann_index(
                 f"n_planes {n_planes} != index n_planes {meta['n_planes']} "
                 "(signatures would not be comparable)"
             )
-    dim = len(query_vec)
-    qsig = 0
-    for p in range(n_planes):
-        d = builtins.sum(q * h for q, h in zip(query_vec, _hyperplane(dim, p + 1)))
-        if d > 0:
-            qsig |= 1 << p
-    buckets = [qsig]
-    if hamming_radius >= 1:
-        buckets += [qsig ^ (1 << p) for p in range(n_planes)]
-    if hamming_radius >= 2:
-        buckets += [
-            qsig ^ (1 << a) ^ (1 << b)
-            for a in range(n_planes)
-            for b in range(a + 1, n_planes)
-        ]
+        if meta.get("n_bands") != n_bands:
+            raise ValueError(
+                f"n_bands {n_bands} != index n_bands {meta.get('n_bands')} "
+                "(bucket encoding would not be comparable)"
+            )
+
+    def _expand(sig: int, width: int, base: int) -> list[int]:
+        out = [base | sig]
+        if hamming_radius >= 1:
+            out += [base | (sig ^ (1 << p)) for p in range(width)]
+        if hamming_radius >= 2:
+            out += [
+                base | (sig ^ (1 << a) ^ (1 << b))
+                for a in range(width)
+                for b in range(a + 1, width)
+            ]
+        return out
+
+    buckets: list[int] = []
+    if n_bands:
+        for b in range(n_bands):
+            sig = _py_rh_signature(query_vec, n_planes, b * n_planes)
+            buckets += _expand(sig, n_planes, b << n_planes)
+    else:
+        buckets = _expand(_py_rh_signature(query_vec, n_planes), n_planes, 0)
     cand = spark.read.parquet(path).filter(F.col("sig_bucket").isin(buckets))
+    if n_bands:
+        cand = cand.dropDuplicates([id_col])
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
