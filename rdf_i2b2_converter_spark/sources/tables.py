@@ -130,8 +130,14 @@ def write_bucketed(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark runtime is on the JVM classpath. Must use
+    real reflection: py4j's ``_jvm.a.b.C`` attribute access returns a lazy
+    JavaPackage and NEVER raises for a missing class (a bare attribute
+    probe reports Iceberg present on every image)."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
