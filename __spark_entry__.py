@@ -808,6 +808,15 @@ def _t_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# km permutation i (1-based multiplier): h1 + i*(2*h2+1) over 52-bit md5 halves
+def _km_sql(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(s, x -> "
+        "('0x' || substr(md5(x), 1, 13))::BIGINT + "
+        f"{i} * (('0x' || substr(md5(x), 14, 13))::BIGINT * 2 + 1)), 'min')"
+    )
+
+
 _T_MINHASH_SQL = f"""
 WITH {_TOKS_CTE},
 sh AS (
@@ -816,10 +825,10 @@ sh AS (
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 )
 SELECT doc_id,
-       list_aggregate(list_transform(s, x -> md5(x || '#0')), 'min') AS mh0,
-       list_aggregate(list_transform(s, x -> md5(x || '#1')), 'min') AS mh1,
-       list_aggregate(list_transform(s, x -> md5(x || '#2')), 'min') AS mh2,
-       list_aggregate(list_transform(s, x -> md5(x || '#3')), 'min') AS mh3
+       {_km_sql(1)} AS mh0,
+       {_km_sql(2)} AS mh1,
+       {_km_sql(3)} AS mh2,
+       {_km_sql(4)} AS mh3
 FROM sh
 """
 
@@ -840,10 +849,8 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id,
-         md5(list_aggregate(list_transform(s, x -> md5(x || '#0')), 'min') || '|'
-          || list_aggregate(list_transform(s, x -> md5(x || '#1')), 'min')) AS band0,
-         md5(list_aggregate(list_transform(s, x -> md5(x || '#2')), 'min') || '|'
-          || list_aggregate(list_transform(s, x -> md5(x || '#3')), 'min')) AS band1
+         md5({_km_sql(1)}::VARCHAR || '|' || {_km_sql(2)}::VARCHAR) AS band0,
+         md5({_km_sql(3)}::VARCHAR || '|' || {_km_sql(4)}::VARCHAR) AS band1
   FROM sh
 ),
 bands AS (

@@ -47,22 +47,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = 16
+    df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = 16,
+    scheme: str = "km",
 ) -> DataFrame:
-    """n_hashes-permutation MinHash over k-token shingles.
+    """n_hashes-permutation MinHash over k-token shingles. Array expressions
+    only; no UDF, no explode — the signature computes map-side with zero
+    shuffle. Both schemes are DuckDB-oracle-reproducible bit-for-bit.
 
-    Permutation i is md5(shingle || '#' || i) — md5 (not xxhash64) so the
-    DuckDB oracle can reproduce signatures bit-for-bit. Adds
-    ``minhash: array<string>``. Array expressions only; no UDF, no explode —
-    the signature computes map-side with zero shuffle."""
+    ``scheme='km'`` (default): ONE md5 per shingle, split into two 52-bit
+    halves (h1, h2), permutation i = h1 + (i+1)*(2*h2+1) — Kirsch-
+    Mitzenmacher double hashing, the standard trick for deriving a hash
+    family from one base hash. n_hashes md5 calls per shingle collapse to
+    one; 52-bit halves keep (i+1)*h2' + h1 < 2^63 for n_hashes <= 512 (no
+    ANSI overflow). Adds ``minhash: array<long>``.
+
+    ``scheme='md5'``: permutation i is md5(shingle || '#' || i) — the
+    original n-independent-hashes form, kept for corpora already
+    fingerprinted with it. Adds ``minhash: array<string>``."""
     sh = shingles(F.col(text_col), k)
+    if scheme == "md5":
+        sig = F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+                for i in range(n_hashes)
+            ]
+        )
+        return df.withColumn("minhash", sig)
+    if scheme != "km":
+        raise ValueError(f"unknown minhash scheme {scheme!r} (use 'km' or 'md5')")
+    if n_hashes > 512:
+        raise ValueError("km scheme supports n_hashes <= 512 (64-bit headroom)")
+    # the md5s and the (h1, h2') pairs are bound as REAL columns in child
+    # projections so the md5 runs ONCE per shingle — n_hashes sibling
+    # array_min(transform(..)) expressions would otherwise each re-evaluate
+    # the md5 HOF (the re-evaluation trap fixed for lang_id in r2,
+    # functions/text._let); CollapseProject keeps multi-referenced
+    # expensive aliases in their own projection.
+    md5s = F.transform(sh, lambda s: F.md5(s))
+    hs = F.transform(
+        F.col("__mh_md5"),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 13), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring(m, 14, 13), 16, 10).cast("long") * 2 + 1).alias("h2"),
+        ),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+            F.array_min(
+                F.transform(F.col("__mh_hs"), lambda h: h["h1"] + F.lit(i + 1) * h["h2"])
+            )
             for i in range(n_hashes)
         ]
     )
-    return df.withColumn("minhash", sig)
+    return (
+        df.withColumn("__mh_md5", md5s)
+        .withColumn("__mh_hs", hs)
+        .withColumn("minhash", sig)
+        .drop("__mh_md5", "__mh_hs")
+    )
 
 
 def lsh_candidate_pairs(
@@ -74,6 +116,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     max_bucket_size: int | None = 1000,
     log_clips: bool = False,
+    scheme: str = "km",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, self-join on
     (band_id, band_hash) buckets, emit id pairs (a < b).
@@ -96,7 +139,7 @@ def lsh_candidate_pairs(
     job when nothing is clipped); ``log_clips=True`` opts into one small
     eager agg that WARN-logs what was star-linked."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, text_col, k, n_hashes).select(id_col, "minhash")
+    sig = minhash_signature(df, text_col, k, n_hashes, scheme=scheme).select(id_col, "minhash")
     # materialize before the self-join: joining on COMPUTED columns makes
     # Catalyst lose the equi-keys and fall back to a nested-loop plan;
     # checkpointed attributes give a plain shuffled hash join.
@@ -110,7 +153,11 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band_id"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                                "|",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
                             )
                         ).alias("band_hash"),
                     )
