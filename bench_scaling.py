@@ -134,7 +134,9 @@ def main() -> None:
     )
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    # raw machine-readable record per run; BENCH/BASELINE.md is the
+    # AUTHORED round evidence (this script used to clobber it)
+    with open("BENCH/scaling_last_run.md", "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — measured scaling evidence
 

@@ -75,9 +75,12 @@ def cmd_data(args) -> int:
     # guess_format analog (reference src/utils.py:48-75): an explicit
     # --format always wins; 'auto' dispatches on the file extension
     fmt = None if args.format == "auto" else args.format
-    if fmt == "turtle" or (fmt is None and args.triples.endswith(".ttl")):
+    if fmt in ("turtle", "turtle-lines") or (fmt is None and args.triples.endswith(".ttl")):
         # compact pnames: entry classes in configs use the p:local form
-        triples = read_turtle(spark, args.triples, expand_prefixes=False)
+        triples = read_turtle(
+            spark, args.triples, expand_prefixes=False,
+            multiline=(fmt != "turtle-lines"),
+        )
     else:
         triples = read_rdf(spark, args.triples, fmt)
     obs = extract_observations(triples, args.entry_class)
@@ -129,8 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     pd_ = sub.add_parser("data", help="instance triples -> observation facts")
     pd_.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
     pd_.add_argument(
-        "--format", choices=["auto", "parquet", "ntriples", "turtle"], default="auto",
-        help="explicit format wins; auto dispatches on the file extension",
+        "--format", choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines"],
+        default="auto",
+        help="explicit format wins; auto dispatches on the file extension; "
+        "turtle-lines = the line-splittable statement-per-line subset "
+        "(the huge-single-file scale path)",
     )
     pd_.add_argument("--entry-class", action="append", required=True)
     pd_.add_argument("--out", required=True)
