@@ -83,6 +83,33 @@ def migrate_field(
     return out
 
 
+def replace_in_columns(
+    df: DataFrame, pattern: str, replacement: str, cols: list[str] | None = None
+) -> DataFrame:
+    """H12 — whole-frame regex replace (the reference's
+    ``df.replace(":Concept", "sphn:SPHNConcept", regex=True)``,
+    src/main_ontology.py:50): one regexp_replace per string column, fused
+    into a single projection by Catalyst (no shuffle, no Python)."""
+    targets = set(cols) if cols is not None else {
+        c for c, t in df.dtypes if t == "string"
+    }
+    return df.select(
+        *[
+            F.regexp_replace(F.col(c), pattern, F.lit(replacement)).alias(c)
+            if c in targets
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def normalize_column_case(df: DataFrame, upper: bool = True) -> DataFrame:
+    """H14 — column-name case normalize (``df.columns = map(str.upper, ...)``,
+    src/scripts/merge_datafields.py:55). Pure metadata: a rename projection,
+    zero data movement."""
+    return df.toDF(*[c.upper() if upper else c.lower() for c in df.columns])
+
+
 def insert_units(
     df: DataFrame,
     units: DataFrame,

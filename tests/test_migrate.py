@@ -109,3 +109,24 @@ def test_migrate_field_overlapping_wildcards_no_fanout(spark):
     rows = out.collect()
     assert len(rows) == 1  # sources dropped, one destination row
     assert rows[0]["path"] == "\\A\\B\\C\\" and rows[0]["xml"] == "vA"  # min of {vA, vB}
+
+
+def test_replace_in_columns_h12(spark):
+    df = spark.createDataFrame(
+        [(":Concept", ":Concept/x", 1)], "a string, b string, n int"
+    )
+    from rdf_i2b2_converter_spark.operators.migrate import replace_in_columns
+
+    out = replace_in_columns(df, "^:Concept", "sphn:SPHNConcept").collect()[0]
+    assert out["a"] == "sphn:SPHNConcept" and out["b"] == "sphn:SPHNConcept/x"
+    assert out["n"] == 1  # non-string columns untouched
+    only_a = replace_in_columns(df, "^:Concept", "X", cols=["a"]).collect()[0]
+    assert only_a["a"] == "X" and only_a["b"] == ":Concept/x"
+
+
+def test_normalize_column_case_h14(spark):
+    df = spark.createDataFrame([(1, "x")], "Concept_CD int, tVal string")
+    from rdf_i2b2_converter_spark.operators.migrate import normalize_column_case
+
+    assert normalize_column_case(df).columns == ["CONCEPT_CD", "TVAL"]
+    assert normalize_column_case(df, upper=False).columns == ["concept_cd", "tval"]

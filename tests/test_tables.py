@@ -66,3 +66,30 @@ def test_csv_roundtrip_and_init(spark, tmp_path):
     init_empty(spark, schemas.GAZETTEER, str(tmp_path / "g"))
     empty = read_csv(spark, str(tmp_path / "g"), schema=schemas.GAZETTEER)
     assert empty.count() == 0 and empty.columns == [f.name for f in schemas.GAZETTEER.fields]
+
+
+def test_read_csv_roundtrip_and_semicolon_lookup(spark, tmp_path):
+    """A4 CSV scan (pinned schema, no inference pass) and A6 ';'-separated
+    lookup scan (fill_metadata_units.py:16-19 analog)."""
+    from pyspark.sql import types as T
+
+    from rdf_i2b2_converter_spark.sources.tables import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta,with,commas")], "k int, v string"
+    )
+    out = str(tmp_path / "csv_rt")
+    write_csv(df, out)
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert back.schema == schema  # pinned, not inferred
+    assert {tuple(r) for r in back.collect()} == {(1, "alpha"), (2, "beta,with,commas")}
+
+    lookup = tmp_path / "units.csv"
+    lookup.write_text("key;unit\ncreat;mg/dL\nweight;kg\n")
+    lk = read_csv(spark, str(lookup), sep=";")
+    assert {(r["key"], r["unit"]) for r in lk.collect()} == {
+        ("creat", "mg/dL"), ("weight", "kg"),
+    }
