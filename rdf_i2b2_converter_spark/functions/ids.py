@@ -91,9 +91,10 @@ def dense_id_scalable(df, key_cols: list[str], id_col: str = "dense_id", num_par
 
     1. range-partition the distinct keys (a sampled-boundary shuffle — the
        same mechanism as a distributed sort) and sort within partitions;
-    2. count rows per partition (one lightweight agg), cumulate the counts
-       driver-side into per-partition OFFSETS (one tiny collect — number of
-       partitions, not rows);
+    2. count rows per partition (one lightweight agg) and cumulate the
+       counts into per-partition OFFSETS with a window over the TINY
+       counts relation (<= num_partitions rows — the single-task window
+       here is over dozens of rows, not the key set);
     3. stamp ``offset + local row_number`` partition-locally via a window
        keyed on the partition id — every partition numbers itself in
        parallel.
@@ -102,6 +103,16 @@ def dense_id_scalable(df, key_cols: list[str], id_col: str = "dense_id", num_par
     serial stages, vs dense_id's one shuffle into ONE task. The result is
     bit-identical to dense_id (asserted in tests): range partitions are
     globally ordered, so offsets + local ranks compose to the global rank.
+
+    Lazy at plan-build (review r3): the old form eagerly materialized the
+    checkpoint AND collected counts to the driver while merely composing
+    the plan; now only Spark's own RangePartitioner boundary sketch runs
+    at build (inherent to repartitionByRange — it samples when the RDD is
+    created) and everything else waits for an action. The
+    localCheckpoint(eager=False) pins the sampled boundaries — both the
+    counts subtree and the probe subtree reference the SAME checkpointed
+    plan, so boundaries are drawn once and shared; without it the two
+    subtrees could re-sample differently and silently misnumber.
     """
     from pyspark.sql import Window
 
@@ -110,23 +121,17 @@ def dense_id_scalable(df, key_cols: list[str], id_col: str = "dense_id", num_par
     ranged = (
         keys.repartitionByRange(n_parts, *key_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin the sampled range boundaries:
-        # repartitionByRange samples, so recomputation could re-draw
-        # boundaries between the count pass and the numbering pass
+        .localCheckpoint(eager=False)
     )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    }
-    rows, acc = [], 0
-    for pid in sorted(counts):
-        rows.append((pid, acc))
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .select("__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+    )
     w = Window.partitionBy("__pid").orderBy(*key_cols)
     return (
-        ranged.join(F.broadcast(off_df), "__pid", "left")
+        ranged.join(F.broadcast(offs), "__pid", "left")
         .withColumn(
             id_col,
             (F.row_number().over(w) + F.coalesce(F.col("__off"), F.lit(0))).cast("long"),

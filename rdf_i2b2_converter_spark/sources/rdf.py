@@ -58,9 +58,20 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", _NT_RE, 8).alias("o_lang"),
         F.col("value"),
     ).filter(F.col("value").rlike(_NT_RE))
-    unescaped = (
-        F.regexp_replace(F.regexp_replace(F.col("o_lit"), r'\\"', '"'), r"\\\\", r"\\")
-    )
+    # decode \\ \" \n \r \t — the writer's full escape set
+    # (operators/emit.triples_to_ntriples), so write->read round-trips
+    # control characters. Order matters for mixed sequences like '\\n'
+    # (escaped backslash THEN a literal n): protect '\\' behind a
+    # private-use sentinel first, decode the singles, restore. Caveat: a
+    # source literal containing U+E000 itself (private-use area, absent
+    # from real text) would be corrupted.
+    _sent = "\ue000"
+    unescaped = F.regexp_replace(F.col("o_lit"), r"\\\\", _sent)
+    unescaped = F.regexp_replace(unescaped, r'\\"', '"')
+    unescaped = F.regexp_replace(unescaped, r"\\n", "\n")
+    unescaped = F.regexp_replace(unescaped, r"\\r", "\r")
+    unescaped = F.regexp_replace(unescaped, r"\\t", "\t")
+    unescaped = F.regexp_replace(unescaped, _sent, r"\\")
     is_res = (F.col("o_iri") != "") | (F.col("o_blank") != "")
     return parsed.select(
         F.when(F.col("s_iri") != "", F.col("s_iri")).otherwise(F.col("s_blank")).alias("s"),
@@ -132,9 +143,26 @@ _ESCAPE_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
 
 def _unescape(s: str) -> str:
     r"""Turtle string-escape decoding (\n, \t, \uXXXX, \UXXXXXXXX, ...).
-    Unknown escapes keep the escaped character verbatim."""
+    Fail-soft by construction (review r3): malformed numeric escapes
+    (\uZZZZ) and unpairable surrogates keep their escaped spelling
+    verbatim instead of raising — a ValueError here would escape the
+    parser's per-statement recovery and kill the whole ingest task, and a
+    lone surrogate in the output would crash the pandas->Arrow UTF-8
+    conversion. JSON-style \uD8xx\uDCxx surrogate PAIRS (common in real
+    dumps) are combined into the single intended codepoint. Unknown
+    single-char escapes keep the escaped character."""
     if "\\" not in s:
         return s
+
+    def _hex(start: int, width: int) -> int | None:
+        end = start + width
+        if end > len(s):
+            return None
+        try:
+            return int(s[start:end], 16)
+        except ValueError:
+            return None
+
     out: list[str] = []
     i, n = 0, len(s)
     while i < n:
@@ -144,11 +172,31 @@ def _unescape(s: str) -> str:
             i += 1
             continue
         e = s[i + 1]
-        if e == "u" and i + 6 <= n:
-            out.append(chr(int(s[i + 2 : i + 6], 16)))
+        if e == "u":
+            cp = _hex(i + 2, 4)
+            if cp is None:
+                out.append(s[i : i + 2])
+                i += 2
+                continue
+            if 0xD800 <= cp <= 0xDBFF:  # high surrogate: try to pair
+                lo = _hex(i + 8, 4) if s[i + 6 : i + 8] == "\\u" else None
+                if lo is not None and 0xDC00 <= lo <= 0xDFFF:
+                    out.append(chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)))
+                    i += 12
+                    continue
+            if 0xD800 <= cp <= 0xDFFF:  # unpairable surrogate: keep escaped
+                out.append(s[i : i + 6])
+                i += 6
+                continue
+            out.append(chr(cp))
             i += 6
-        elif e == "U" and i + 10 <= n:
-            out.append(chr(int(s[i + 2 : i + 10], 16)))
+        elif e == "U":
+            cp = _hex(i + 2, 8)
+            if cp is None or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                out.append(s[i : i + 2])
+                i += 2
+                continue
+            out.append(chr(cp))
             i += 10
         else:
             out.append(_ESCAPE_MAP.get(e, e))
@@ -216,7 +264,6 @@ class _TurtleParser:
         self.allow_structs = allow_structs
         self.text = text
         self.rows: list[tuple] = []
-        self.prefix_rows: list[tuple[str, str]] = []
         self.errors: list[tuple[int, str]] = []
 
     # ---- token helpers
@@ -439,7 +486,6 @@ class _TurtleParser:
                 self._err(f"expected IRI in prefix directive, got {v2!r}", st2)
             iri = self._resolve_iri(v2[1:-1])
             self.prefixes[pfx] = iri
-            self.prefix_rows.append((pfx, iri))
         else:
             k, v, st = self._next()
             if k != "iri":

@@ -130,14 +130,24 @@ def write_bucketed(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the iceberg-spark runtime is on the JVM classpath. Must use
-    real reflection: py4j's ``_jvm.a.b.C`` attribute access returns a lazy
-    JavaPackage and NEVER raises for a missing class (a bare attribute
-    probe reports Iceberg present on every image)."""
+    """True iff the iceberg-spark runtime is on the JVM classpath. Two
+    review-driven subtleties: (1) py4j's ``_jvm.a.b.C`` attribute access
+    returns a lazy JavaPackage and NEVER raises for a missing class, so a
+    bare attribute probe reports Iceberg present on every image — real
+    reflection is required; (2) jars pulled by ``--packages`` /
+    ``spark.jars.packages`` land in Spark's MutableURLClassLoader, not the
+    system classpath, so single-arg ``Class.forName`` alone gives false
+    negatives — probe Spark's context classloader first."""
+    jvm = spark._jvm  # noqa: SLF001
+    cls = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.iceberg.spark.SparkCatalog"
-        )
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        jvm.java.lang.Class.forName(cls, False, loader)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

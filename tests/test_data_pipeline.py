@@ -138,3 +138,38 @@ def test_instance_numbering_matches_window_form(spark, obs):
     plan = obs._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(class_uri" not in plan
     assert "row_number" in plan  # the per-range-partition numbering window
+
+
+def test_dense_id_scalable_plan_build_is_lazy(spark):
+    """Review r3: dense_id_scalable used to eager-checkpoint + collect at
+    plan-BUILD time, running the whole upstream as a side effect of merely
+    composing the plan. Now zero jobs until an action. (extract_observations
+    as a whole stays eager by design — assign_subtrees is an iterative
+    fixpoint whose rounds are driver actions.)"""
+    from rdf_i2b2_converter_spark.functions.ids import dense_id, dense_id_scalable
+
+    df = spark.createDataFrame(
+        [(f"c{i % 3}", f"i{i}") for i in range(50)], "class_uri string, instance_uri string"
+    )
+    sc = spark.sparkContext
+    # floor: repartitionByRange itself runs the RangePartitioner boundary
+    # sketch at RDD creation — that's Spark, not our code. The regression
+    # being guarded against is the EXTRA work (eager checkpoint
+    # materialization + driver collect) beyond that sketch.
+    sc.setJobGroup("lazy-floor", "range sampler sketch only")
+    df.select("class_uri", "instance_uri").distinct().repartitionByRange(
+        4, "class_uri", "instance_uri"
+    ).localCheckpoint(eager=False)
+    floor = len(sc.statusTracker().getJobIdsForGroup("lazy-floor"))
+    sc.setJobGroup("lazy-check", "plan build must not execute beyond the sketch")
+    try:
+        ids = dense_id_scalable(df, ["class_uri", "instance_uri"], num_partitions=4)
+        _ = ids.schema
+        jobs = list(sc.statusTracker().getJobIdsForGroup("lazy-check"))
+        assert len(jobs) <= floor, f"plan build ran extra jobs: {jobs} (sketch floor {floor})"
+    finally:
+        sc.setJobGroup("", "")
+    # and the lazy form still numbers bit-identically to the window form
+    got = {tuple(r) for r in ids.collect()}
+    want = {tuple(r) for r in dense_id(df, ["class_uri", "instance_uri"], "dense_id").collect()}
+    assert got == want

@@ -345,3 +345,45 @@ def test_read_turtle_line_mode_single_text_scan(spark, tmp_path):
     plan_e = expanded._jdf.queryExecution().executedPlan().toString()
     assert plan_e.count("Scan text") == 0, plan_e
     assert "ExistingRDD" in plan_e or "LocalTableScan" in plan_e or "Scan" in plan_e
+
+
+def test_unescape_failsoft_and_surrogates(spark, tmp_path):
+    """Review r3: malformed \\u escapes and lone surrogates must not crash
+    the ingest (fail-soft, kept verbatim); JSON-style surrogate PAIRS decode
+    to the intended codepoint and survive Arrow conversion."""
+    f = tmp_path / "esc.ttl"
+    f.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:a ex:bad "oops \\uZZZZ here" .\n'
+        'ex:a ex:lone "lone \\uD800 surrogate" .\n'
+        'ex:a ex:pair "emoji \\uD83D\\uDE00" .\n'
+        'ex:a ex:astral "g-clef \\U0001D11E" .\n'
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
+
+    rows = {r["p"].rsplit("/", 1)[-1]: r["o"]
+            for r in read_turtle(spark, str(f)).collect()}
+    assert rows["bad"] == "oops \\uZZZZ here"
+    assert rows["lone"] == "lone \\uD800 surrogate"
+    assert rows["pair"] == "emoji \U0001F600"
+    assert rows["astral"] == "g-clef \U0001D11E"
+    assert scan_turtle_errors(spark, str(f)).count() == 0
+
+
+def test_ntriples_control_char_roundtrip(spark, tmp_path):
+    """Review r3: the writer escapes \\n/\\r/\\t; the reader must decode
+    them back, including the mixed backslash-then-n case."""
+    triples = spark.createDataFrame(
+        [
+            ("kg:e/1", "kg:multi", "line1\nline2\ttabbed", "xsd:string", None, 0),
+            ("kg:e/2", "kg:mixed", "back\\slash then\\nliteral", "xsd:string", None, 0),
+        ],
+        "subj string, pred string, obj string, obj_datatype string, source_url string, part_id int",
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_ntriples, write_ntriples
+
+    out = str(tmp_path / "ctl_out")
+    write_ntriples(triples, out)
+    got = {r["s"]: r["o"] for r in read_ntriples(spark, out).collect()}
+    assert got["kg:e/1"] == "line1\nline2\ttabbed"
+    assert got["kg:e/2"] == "back\\slash then\\nliteral"
