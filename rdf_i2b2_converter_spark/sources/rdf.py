@@ -46,7 +46,13 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     regexp filter, no shuffle. Comment/blank lines are dropped, malformed
     lines are surfaced via the companion :func:`scan_errors`. Blank nodes
     (``_:name``) are carried verbatim as node ids."""
-    lines = spark.read.text(path)
+    return ntriples_from_lines(spark.read.text(path))
+
+
+def ntriples_from_lines(lines: DataFrame) -> DataFrame:
+    """The N-Triples expression plan over any lines DataFrame — pure column
+    expressions, so it applies unchanged to a STREAMING lines source
+    (streaming/stream.read_ntriples_stream)."""
     parsed = lines.select(
         F.regexp_extract("value", _NT_RE, 1).alias("s_iri"),
         F.regexp_extract("value", _NT_RE, 2).alias("s_blank"),

@@ -89,3 +89,21 @@ def run_stream_to_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def read_ntriples_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming A1: ``readStream.text`` over an N-Triples drop directory ->
+    the SAME expression plan as the batch reader (sources/rdf.
+    ntriples_from_lines is pure column expressions — legal on a streaming
+    DataFrame: no collect, no checkpoint, no Python). A continuously
+    crawled corpus appends .nt files; each micro-batch parses only the new
+    files. Malformed lines are dropped exactly as in batch (fail-soft)."""
+    from ..sources.rdf import ntriples_from_lines
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return ntriples_from_lines(lines)

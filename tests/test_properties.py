@@ -143,3 +143,86 @@ def test_turtle_line_roundtrip_property(subj, po_groups):
     line = f"{subj} " + " ; ".join(parts) + " ."
     got = set(_parse_turtle_line(line, {}, expand=False))
     assert got == expected, line
+
+
+@given(
+    po_groups=st.lists(
+        st.tuples(
+            _pname,
+            st.lists(
+                st.one_of(
+                    _pname,
+                    st.tuples(_littext, st.sampled_from(["", "@en", "^^xsd:double"])),
+                    st.integers(-10**6, 10**6),
+                    st.lists(st.one_of(_pname, st.integers(0, 99)), max_size=3).map(
+                        tuple
+                    ),  # nested ( ) collection
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    layout=st.integers(0, 2),  # 0: one line, 1: token-per-line, 2: mixed
+)
+@settings(max_examples=120, deadline=None)
+def test_turtle_document_roundtrip_property(po_groups, layout):
+    """Document-parser round-trip: arbitrary ';'/',' statements wrapped in
+    a '[ ]' subject bnode, containing nested '( )' collections, serialized
+    across ARBITRARY line breaks, parse back to exactly the intended
+    (p, o, dt) multiset reachable from the bnode — multiline placement must
+    not change the parse (the property the line subset could never have)."""
+    from rdf_i2b2_converter_spark.sources.rdf import _tokenize, _TurtleParser
+
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace('"', '\\"')
+
+    expected = set()  # (pred, obj, dt) with collections flattened to members
+    parts = []
+    for pred, objs in po_groups:
+        obj_strs = []
+        for o in objs:
+            if isinstance(o, tuple) and len(o) == 2 and isinstance(o[0], str) and o[1] in ("", "@en", "^^xsd:double"):
+                text, suffix = o
+                obj_strs.append(f'"{esc(text)}"{suffix}')
+                dt = "xsd:double" if suffix == "^^xsd:double" else "xsd:string"
+                expected.add((pred, text, dt))
+            elif isinstance(o, tuple):  # collection
+                obj_strs.append("( " + " ".join(
+                    str(m) if isinstance(m, int) else m for m in o
+                ) + " )")
+                for m in o:
+                    if isinstance(m, int):
+                        expected.add(("rdf:first", str(m), "xsd:integer"))
+                    else:
+                        expected.add(("rdf:first", m, None))
+                if o:
+                    expected.add(("rdf:rest", "rdf:nil", None))
+                else:
+                    expected.add((pred, "rdf:nil", None))
+            elif isinstance(o, int):
+                obj_strs.append(str(o))
+                expected.add((pred, str(o), "xsd:integer"))
+            else:
+                obj_strs.append(o)
+                expected.add((pred, o, None))
+        parts.append(f"{pred} " + ", ".join(obj_strs))
+    doc = "[ " + " ; ".join(parts) + " ] ."
+
+    if layout == 1:
+        # one token per line: whitespace placement must be irrelevant
+        toks = [t[1] for t in _tokenize(doc)]
+        doc = "\n".join(toks)
+    elif layout == 2:
+        doc = doc.replace("; ", ";\n  ").replace(", ", ",\n    ")
+
+    p = _TurtleParser(_tokenize(doc), mode="compact", bnode_ns="T", text=doc)
+    p.document()
+    assert p.errors == [], (p.errors, doc)
+    # links TO synthesized bnodes (collection heads, rest->next spine) carry
+    # generated labels — drop them; everything else must match exactly
+    got = {(pred, o, dt) for (_s, pred, o, dt, _lang, _m) in p.rows
+           if not o.startswith("_:T")}
+    assert got == expected, doc

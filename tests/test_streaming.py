@@ -69,3 +69,35 @@ def test_stream_sink_replay_is_idempotent(spark, corpus, pages_dir, tmp_path):
     run_stream_to_sink(spark, pages_dir, corpus["gazetteer"], sink, str(tmp_path / "r_ck2"))
     replayed = spark.read.parquet(f"{sink}/triples")
     assert (replayed.count(), content_hash(replayed)) == (n1, h1)
+
+
+def test_streaming_ntriples_source_matches_batch(spark, tmp_path):
+    """Streaming A1: the readStream.text N-Triples source parses each
+    micro-batch to exactly the batch reader's rows (same expression plan),
+    across multiple dropped files."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_ntriples
+    from rdf_i2b2_converter_spark.streaming.stream import read_ntriples_stream
+
+    drop = tmp_path / "nt_drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text(
+        "<http://e/s1> <http://e/p> <http://e/o> .\n"
+        '<http://e/s1> <http://e/label> "hi \\"there\\""@en .\n'
+        "garbage line\n"
+    )
+    (drop / "b.nt").write_text(
+        '_:b1 <http://e/num> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    out = str(tmp_path / "nt_out")
+    ckpt = str(tmp_path / "nt_ckpt")
+    q = (
+        read_ntriples_stream(spark, str(drop), max_files_per_trigger=1)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in read_ntriples(spark, str(drop)).collect()}
+    assert streamed == batch and len(batch) == 3
