@@ -787,6 +787,115 @@ def route_terminology(triples: DataFrame, prefix_map: dict[str, str]) -> DataFra
     return triples.withColumn("source", expr)
 
 
+def _render_resource(col: Column, prefixes: dict[str, str] | None) -> Column:
+    """Resource term rendering: blank nodes bare, prefixed names compacted
+    by longest-IRI match when a prefix table is given, else <bracketed>.
+    Prefix labels contain no ':', so compaction is collision-free; longer
+    IRIs are applied LAST in the when-chain so they win."""
+    expr = F.concat(F.lit("<"), col, F.lit(">"))
+    if prefixes:
+        for pfx, iri in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+            expr = F.when(
+                col.startswith(iri),
+                F.concat(F.lit(pfx + ":"), F.substring(col, len(iri) + 1, 2147483647)),
+            ).otherwise(expr)
+    return F.when(col.startswith("_:"), col).otherwise(expr)
+
+
+def _render_object(prefixes: dict[str, str] | None) -> Column:
+    """Object rendering: resources via :func:`_render_resource`; literals
+    quoted with the N-Triples escape set (\\\\ \\\" \\n \\r \\t), '@lang'
+    when present, '^^<dt>' for non-plain datatypes (the 'xsd:string'
+    sentinel and its expanded spelling render as plain literals)."""
+    esc = F.regexp_replace(F.col("o"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', r"\\\"")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    dt = F.col("o_datatype")
+    plain = dt.isNull() | (dt == F.lit(_PLAIN)) | (dt == F.lit(XSD_NS + "string"))
+    lit = F.concat(
+        F.lit('"'), esc, F.lit('"'),
+        F.when(
+            F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang"))
+        ).when(
+            ~plain, F.concat(F.lit("^^"), _render_resource(dt, prefixes))
+        ).otherwise(F.lit("")),
+    )
+    return F.when(dt.isNull(), _render_resource(F.col("o"), prefixes)).otherwise(lit)
+
+
+def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """TRIPLES(s, p, o, o_datatype, o_lang) -> one Turtle statement line per
+    subject: predicates joined with ' ;', objects with ', ', 'a' for
+    rdf:type — the compact rdflib-serialization shape (the reference
+    serializes its graphs as Turtle via rdflib, src/utils.py GraphParser
+    family). All grouping/rendering is JVM column expressions: two
+    map-side-combinable aggregations (objects per (s,p), then predicate
+    groups per s), deterministic order via sort_array — the same output at
+    any parallelism. Prefix COMPACTION happens here; the @prefix header is
+    prepended per output file by :func:`write_turtle`."""
+    if "subj" in triples.columns:  # KG emission schema -> TRIPLES_RAW names
+        triples = triples.withColumnsRenamed(
+            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
+        )
+    if "o_lang" not in triples.columns:
+        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    rdf_type = F.col("p").isin("rdf:type", RDF_NS + "type")
+    rendered = triples.select(
+        _render_resource(F.col("s"), prefixes).alias("s_txt"),
+        F.when(rdf_type, F.lit("a")).otherwise(
+            _render_resource(F.col("p"), prefixes)
+        ).alias("p_txt"),
+        _render_object(prefixes).alias("o_txt"),
+    )
+    by_pred = rendered.groupBy("s_txt", "p_txt").agg(
+        F.array_join(F.sort_array(F.collect_set("o_txt")), ", ").alias("objs")
+    )
+    by_subj = by_pred.groupBy("s_txt").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p_txt", "objs"))),
+                lambda g: F.concat(g["p_txt"], F.lit(" "), g["objs"]),
+            ),
+            " ;\n    ",
+        ).alias("body")
+    )
+    return by_subj.select(
+        F.concat(F.col("s_txt"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value")
+    )
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Turtle sink. Without ``prefixes`` the statements carry full
+    <bracketed> IRIs and the write is pure ``df.write.text`` (no Python).
+    With ``prefixes`` every output part-file gets its own ``@prefix``
+    header (each file must be self-contained Turtle), prepended by a thin
+    ``mapInPandas`` pass over the already-rendered statement lines."""
+    lines = triples_to_turtle(triples, prefixes)
+    if not prefixes:
+        lines.write.mode(mode).text(path)
+        return
+    import pandas as pd
+
+    header = [f"@prefix {p}: <{iri}> ." for p, iri in sorted(prefixes.items())]
+
+    def add_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first = True
+        for pdf in batches:
+            if first and len(pdf):
+                yield pd.DataFrame({"value": header})
+                first = False
+            yield pdf
+
+    lines.mapInPandas(add_header, schema="value string").write.mode(mode).text(path)
+
+
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """TRIPLES -> N-Triples text files (the rdflib serialization analog).
     Uses operators/emit.triples_to_ntriples for escaping."""

@@ -387,3 +387,63 @@ def test_ntriples_control_char_roundtrip(spark, tmp_path):
     got = {r["s"]: r["o"] for r in read_ntriples(spark, out).collect()}
     assert got["kg:e/1"] == "line1\nline2\ttabbed"
     assert got["kg:e/2"] == "back\\slash then\\nliteral"
+
+
+def test_turtle_writer_roundtrip(spark, tmp_path):
+    """write_turtle -> read_turtle round-trips resources, bnodes, plain/
+    lang/typed literals (incl. control chars), with prefix compaction and
+    per-file @prefix headers."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, write_turtle
+
+    EX = "http://ex.org/"
+    rows = [
+        (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}T", None, None),
+        (f"{EX}a", f"{EX}knows", "_:b0", None, None),
+        (f"{EX}a", f"{EX}name", 'Ada "the first"', "xsd:string", None),
+        (f"{EX}a", f"{EX}label", "bonjour", "xsd:string", "fr"),
+        (f"{EX}a", f"{EX}bio", "line1\nline2\ttab", "xsd:string", None),
+        ("_:b0", f"{EX}age", "36", "http://www.w3.org/2001/XMLSchema#integer", None),
+        (f"{EX}a", f"{EX}knows", f"{EX}b", None, None),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, o_datatype string, o_lang string")
+    out = str(tmp_path / "ttl_out")
+    write_turtle(df, out, prefixes={"ex": EX, "xsd": "http://www.w3.org/2001/XMLSchema#"})
+    back = {tuple(r) for r in read_turtle(spark, out).collect()}
+    want = {
+        (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}T", None, None),
+        (f"{EX}a", f"{EX}knows", "_:b0", None, None),
+        (f"{EX}a", f"{EX}name", 'Ada "the first"', "xsd:string", None),
+        (f"{EX}a", f"{EX}label", "bonjour", "xsd:string", "fr"),
+        (f"{EX}a", f"{EX}bio", "line1\nline2\ttab", "xsd:string", None),
+        ("_:b0", f"{EX}age", "36", "http://www.w3.org/2001/XMLSchema#integer", None),
+        (f"{EX}a", f"{EX}knows", f"{EX}b", None, None),
+    }
+    assert back == want
+    # compact shape on disk: 'a' keyword, ';' predicate groups, prefix header
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(f"{out}/part-*")))
+    assert "@prefix ex: <http://ex.org/> ." in text
+    assert "ex:a a ex:T" in text or "a ex:T" in text
+    assert " ;\n" in text and '"36"^^xsd:integer' in text
+
+
+def test_turtle_writer_no_prefixes_pure_text(spark, tmp_path):
+    """Without a prefix table the sink is pure df.write.text (no Python in
+    the plan) and full <bracketed> IRIs round-trip."""
+    from rdf_i2b2_converter_spark.sources.rdf import (
+        read_turtle,
+        triples_to_turtle,
+        write_turtle,
+    )
+
+    df = spark.createDataFrame(
+        [("http://e/s", "http://e/p", "http://e/o", None, None)],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    plan = triples_to_turtle(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    out = str(tmp_path / "ttl_plain")
+    write_turtle(df, out)
+    back = {tuple(r) for r in read_turtle(spark, out).collect()}
+    assert back == {("http://e/s", "http://e/p", "http://e/o", None, None)}
