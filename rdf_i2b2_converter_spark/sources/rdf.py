@@ -125,7 +125,7 @@ _TTL_TOKEN_RE = re.compile(
   | (?P<dt>\^\^)
   | (?P<blank>_:[\w-]+(?:\.[\w-]+)*)
   | (?P<boolean>\b(?:true|false)\b(?!:))
-  | (?P<pname>(?:[A-Za-z][\w-]*(?:\.[\w-]+)*)?:(?:[\w%/#-]+(?:\.[\w%/#-]+)*)?)
+  | (?P<pname>(?:[A-Za-z][\w-]*(?:\.[\w-]+)*)?:(?:(?:[\w%/#-]|\\[_~.!$&'()*+,;=/?\#@%-])+(?:\.(?:[\w%/#-]|\\[_~.!$&'()*+,;=/?\#@%-])+)*)?)
   | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<a>\ba\b(?!:))
   | (?P<bracket>[\[\]()])
@@ -303,6 +303,8 @@ class _TurtleParser:
         return self._std(XSD_NS, "xsd", local)
 
     def _pname_term(self, val: str):
+        if "\\" in val:  # PN_LOCAL_ESC: '\,' '\(' ... -> the bare char
+            val = re.sub(r"\\([_~.!$&'()*+,;=/?#@%-])", r"\1", val)
         if self.mode == "compact":
             return (val, False)
         if self.mode == "defer":

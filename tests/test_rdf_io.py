@@ -447,3 +447,18 @@ def test_turtle_writer_no_prefixes_pure_text(spark, tmp_path):
     write_turtle(df, out)
     back = {tuple(r) for r in read_turtle(spark, out).collect()}
     assert back == {("http://e/s", "http://e/p", "http://e/o", None, None)}
+
+
+def test_pname_local_escapes(spark, tmp_path):
+    r"""PN_LOCAL_ESC: 'ex:foo\,bar' style escaped punctuation in prefixed
+    names decodes to the bare character in the resolved IRI (both modes)."""
+    f = tmp_path / "pnesc.ttl"
+    f.write_text(
+        "@prefix ex: <http://e/> .\n"
+        r"ex:foo\,bar ex:p\(x\) ex:o\@q ." + "\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    for ml in (True, False):
+        rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), multiline=ml).collect()}
+        assert rows == {("http://e/foo,bar", "http://e/p(x)", "http://e/o@q")}, ml
