@@ -108,6 +108,28 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize a triples table back to RDF text — the rdflib
+    graph.serialize step of the reference's entry points (main_ontology
+    writes the migrated graph out). Reads any read_rdf-supported input,
+    writes .nt or compact .ttl (with optional @prefix table)."""
+    from .sources.rdf import read_rdf, write_ntriples, write_turtle
+
+    spark = _spark(args)
+    triples = read_rdf(spark, args.triples, None if args.format == "auto" else args.format)
+    prefixes = dict(kv.split("=", 1) for kv in (args.prefix or []))
+    if args.to == "turtle":
+        write_turtle(triples, args.out, prefixes=prefixes or None)
+    else:
+        write_ntriples(
+            triples.withColumnsRenamed(
+                {"s": "subj", "p": "pred", "o": "obj", "o_datatype": "obj_datatype"}
+            )
+        , args.out)
+    print(json.dumps({"out": args.out, "to": args.to}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spark-kg")
     p.add_argument("--master", default=None, help="override master (default: env/local)")
@@ -142,6 +164,15 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--no-reindex", action="store_true")
     pd_.set_defaults(fn=cmd_data)
+
+    pe = sub.add_parser("export", help="triples -> N-Triples/Turtle text")
+    pe.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
+    pe.add_argument("--format", choices=["auto", "parquet", "ntriples", "turtle"], default="auto")
+    pe.add_argument("--to", choices=["ntriples", "turtle"], default="turtle")
+    pe.add_argument("--prefix", action="append", metavar="p=iri",
+                    help="prefix table entries for turtle compaction (repeatable)")
+    pe.add_argument("--out", required=True)
+    pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser("synth", help="generate deterministic demo corpus")
     ps.add_argument("--n-docs", type=int, default=10000)

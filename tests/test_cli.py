@@ -55,3 +55,23 @@ def test_cli_data_from_turtle(spark, tmp_path, capsys):
     )
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["n_observations"] == 2  # '@' concept row + hasScore value row
+
+
+def test_cli_export_roundtrip(spark, tmp_path, capsys):
+    """export: .nt -> compact .ttl -> read back equals the original."""
+    from rdf_i2b2_converter_spark.cli import main
+    from rdf_i2b2_converter_spark.sources.rdf import read_ntriples, read_turtle
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://e/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .\n"
+        '<http://e/a> <http://e/name> "Ada" .\n'
+    )
+    out = str(tmp_path / "g_ttl")
+    assert main([
+        "export", "--triples", str(nt), "--to", "turtle",
+        "--prefix", "e=http://e/", "--out", out,
+    ]) == 0
+    back = {tuple(r) for r in read_turtle(spark, out).collect()}
+    orig = {tuple(r) for r in read_ntriples(spark, str(nt)).collect()}
+    assert back == orig
