@@ -22,6 +22,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = round(os.getloadavg()[0], 2)
 
     from pyspark.sql import functions as F
 
@@ -107,6 +108,13 @@ def main() -> None:
                 "cpus": cpus,
                 "triple_precision": precision,
                 "triple_recall": recall,
+                # host contamination markers: this sandbox shares silicon
+                # with co-tenants; a 1-min load >> 0 at start or a large
+                # rise during the run means the numbers are inflated by
+                # EXTERNAL work (observed up to 4x) — compare only runs
+                # with similar load fields
+                "load_avg_start": load_start,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
