@@ -45,6 +45,11 @@ def cmd_pipeline(args) -> int:
         from .sources.tables import read_pages_jsonl
 
         pages = read_pages_jsonl(spark, args.pages)
+    elif args.pages_format == "table":
+        # catalog identifier — the north_star input shape: an Iceberg table
+        # of CC-style pages (snapshot isolation + partition pruning for
+        # free when the runtime is present; works on any catalog table)
+        pages = spark.table(args.pages)
     else:
         pages = spark.read.parquet(args.pages)
     gazetteer = spark.read.parquet(args.gazetteer)
@@ -142,7 +147,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pp = sub.add_parser("pipeline", help="pages -> triples (resumable)")
     pp.add_argument("--pages", required=True)
-    pp.add_argument("--pages-format", choices=["parquet", "jsonl"], default="parquet")
+    pp.add_argument(
+        "--pages-format", choices=["parquet", "jsonl", "table"], default="parquet",
+        help="'table' reads a catalog identifier (e.g. an Iceberg pages table)",
+    )
     pp.add_argument("--gazetteer", required=True)
     pp.add_argument("--ontology", default=None)
     pp.add_argument("--alias-edges", default=None)

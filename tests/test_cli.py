@@ -75,3 +75,24 @@ def test_cli_export_roundtrip(spark, tmp_path, capsys):
     back = {tuple(r) for r in read_turtle(spark, out).collect()}
     orig = {tuple(r) for r in read_ntriples(spark, str(nt)).collect()}
     assert back == orig
+
+
+def test_cli_pipeline_pages_from_catalog_table(spark, tmp_path, capsys):
+    """--pages-format table reads a catalog identifier (the north-star
+    Iceberg-table input shape; plain saveAsTable here since this image has
+    no Iceberg jar — same spark.table() code path)."""
+    from rdf_i2b2_converter_spark.cli import main
+    from rdf_i2b2_converter_spark.sources import synthetic as syn
+
+    spark.sql("DROP TABLE IF EXISTS pages_tbl")
+    syn.gen_pages(spark, 60, num_partitions=2).write.mode("overwrite").saveAsTable("pages_tbl")
+    gaz = str(tmp_path / "gaz")
+    syn.gen_gazetteer(spark).write.mode("overwrite").parquet(gaz)
+    out = str(tmp_path / "trip")
+    rc = main([
+        "pipeline", "--pages", "pages_tbl", "--pages-format", "table",
+        "--gazetteer", gaz, "--out", out, "--parts", "4",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/triples").count() > 0
+    spark.sql("DROP TABLE IF EXISTS pages_tbl")
