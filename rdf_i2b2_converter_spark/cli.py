@@ -120,6 +120,10 @@ def cmd_export(args) -> int:
     writes .nt or compact .ttl (with optional @prefix table)."""
     from .sources.rdf import read_rdf, write_ntriples, write_turtle
 
+    bad = [kv for kv in (args.prefix or []) if "=" not in kv]
+    if bad:
+        print(f"error: --prefix expects p=iri, got {bad[0]!r}", file=sys.stderr)
+        return 2
     spark = _spark(args)
     triples = read_rdf(spark, args.triples, None if args.format == "auto" else args.format)
     prefixes = dict(kv.split("=", 1) for kv in (args.prefix or []))
@@ -128,7 +132,8 @@ def cmd_export(args) -> int:
     else:
         write_ntriples(
             triples.withColumnsRenamed(
-                {"s": "subj", "p": "pred", "o": "obj", "o_datatype": "obj_datatype"}
+                {"s": "subj", "p": "pred", "o": "obj",
+                 "o_datatype": "obj_datatype", "o_lang": "obj_lang"}
             )
         , args.out)
     print(json.dumps({"out": args.out, "to": args.to}))

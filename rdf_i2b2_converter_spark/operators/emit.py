@@ -150,33 +150,56 @@ def integrity_check(triples: DataFrame, ontology_closed: DataFrame) -> DataFrame
     return typed.join(F.broadcast(dim), "obj", "left_anti")
 
 
-def triples_to_ntriples(triples: DataFrame) -> DataFrame:
-    """Render as N-Triples lines (the rdflib serialization analog,
-    src/main_ontology.py flow) — pure string expressions, writable with
-    ``df.write.text``."""
-    def _res(c):  # standard _:blank nodes serialize bare, IRIs bracketed
-        return F.when(c.startswith("_:"), c).otherwise(
-            F.concat(F.lit("<"), c, F.lit(">"))
-        )
+#: plain-literal sentinel spellings — no ^^ suffix on serialization
+_PLAIN_DTS = ("xsd:string", "http://www.w3.org/2001/XMLSchema#string")
 
-    subj = _res(F.col("subj"))
-    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
-    escaped = F.regexp_replace(F.col("obj"), r"\\", r"\\\\")
+
+def escape_literal(col) -> "F.Column":
+    r"""The ONE writer escape set (\\ \" \n \r \t) — shared by the
+    N-Triples and Turtle sinks; its decode mirror is
+    sources/rdf.ntriples_from_lines and sources/rdf._unescape. Keep the
+    three in lockstep: an escape added to a writer but not the readers
+    silently breaks write->read round-trips."""
+    escaped = F.regexp_replace(col, r"\\", r"\\\\")
     escaped = F.regexp_replace(escaped, '"', r"\\\"")
     # control chars would break the one-statement-per-line format
     escaped = F.regexp_replace(escaped, "\n", r"\\n")
     escaped = F.regexp_replace(escaped, "\r", r"\\r")
-    escaped = F.regexp_replace(escaped, "\t", r"\\t")
+    return F.regexp_replace(escaped, "\t", r"\\t")
+
+
+def render_resource_term(col) -> "F.Column":
+    """Standard ``_:`` blank nodes serialize bare, IRIs bracketed — shared
+    by the N-Triples and Turtle sinks (the Turtle sink layers optional
+    prefix compaction on top)."""
+    return F.when(col.startswith("_:"), col).otherwise(
+        F.concat(F.lit("<"), col, F.lit(">"))
+    )
+
+
+def triples_to_ntriples(triples: DataFrame) -> DataFrame:
+    """Render as N-Triples lines (the rdflib serialization analog,
+    src/main_ontology.py flow) — pure string expressions, writable with
+    ``df.write.text``. Plain-literal sentinels ('xsd:string' / its
+    expanded spelling) render without a ^^ suffix; an ``obj_lang`` column,
+    when present, renders as '@lang' (review r3: both used to be silently
+    mangled — the sentinel emitted as an invalid relative <xsd:string>
+    IRI and the lang tag dropped)."""
+    subj = render_resource_term(F.col("subj"))
+    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
+    lang = F.col("obj_lang") if "obj_lang" in triples.columns else F.lit(None).cast("string")
+    plain = F.col("obj_datatype").isin(*_PLAIN_DTS)
     lit_obj = F.concat(
         F.lit('"'),
-        escaped,
+        escape_literal(F.col("obj")),
         F.lit('"'),
-        F.when(
-            F.col("obj_datatype").isNotNull(),
-            F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
-        ).otherwise(F.lit("")),
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+        .when(~plain, F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")))
+        .otherwise(F.lit("")),
     )
-    obj = F.when(F.col("obj_datatype").isNotNull(), lit_obj).otherwise(_res(F.col("obj")))
+    obj = F.when(F.col("obj_datatype").isNotNull(), lit_obj).otherwise(
+        render_resource_term(F.col("obj"))
+    )
     return triples.select(
         F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
     )

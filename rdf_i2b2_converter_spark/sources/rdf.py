@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: One N-Triples statement:
@@ -162,12 +162,12 @@ def _unescape(s: str) -> str:
 
     def _hex(start: int, width: int) -> int | None:
         end = start + width
-        if end > len(s):
+        chunk = s[start:end]
+        # strict: int(x, 16) alone accepts '+', whitespace and '_' —
+        # '\u+FFF' would silently decode instead of staying verbatim
+        if end > len(s) or not all(c in "0123456789abcdefABCDEF" for c in chunk):
             return None
-        try:
-            return int(s[start:end], 16)
-        except ValueError:
-            return None
+        return int(chunk, 16)
 
     out: list[str] = []
     i, n = 0, len(s)
@@ -789,17 +789,27 @@ def route_terminology(triples: DataFrame, prefix_map: dict[str, str]) -> DataFra
     return triples.withColumn("source", expr)
 
 
+#: a local part the tokenizer accepts UNescaped (ASCII-conservative: Java
+#: regex \w is ASCII; unicode locals simply stay <bracketed>, still valid)
+_PN_LOCAL_OK = r"^([\w%/#-]+(\.[\w%/#-]+)*)?$"
+
+
 def _render_resource(col: Column, prefixes: dict[str, str] | None) -> Column:
     """Resource term rendering: blank nodes bare, prefixed names compacted
     by longest-IRI match when a prefix table is given, else <bracketed>.
     Prefix labels contain no ':', so compaction is collision-free; longer
-    IRIs are applied LAST in the when-chain so they win."""
+    IRIs are applied LAST in the when-chain so they win. Compaction is
+    GATED on the remaining local part being valid PN_LOCAL for our own
+    tokenizer (review r3: 'e:page?id=1' was emitted for http://e/page?id=1
+    — a statement no Turtle parser, ours included, can read back); IRIs
+    whose suffix doesn't qualify stay <bracketed>, which is always valid."""
     expr = F.concat(F.lit("<"), col, F.lit(">"))
     if prefixes:
         for pfx, iri in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+            local = F.substring(col, len(iri) + 1, 2147483647)
             expr = F.when(
-                col.startswith(iri),
-                F.concat(F.lit(pfx + ":"), F.substring(col, len(iri) + 1, 2147483647)),
+                col.startswith(iri) & local.rlike(_PN_LOCAL_OK),
+                F.concat(F.lit(pfx + ":"), local),
             ).otherwise(expr)
     return F.when(col.startswith("_:"), col).otherwise(expr)
 
@@ -809,11 +819,10 @@ def _render_object(prefixes: dict[str, str] | None) -> Column:
     quoted with the N-Triples escape set (\\\\ \\\" \\n \\r \\t), '@lang'
     when present, '^^<dt>' for non-plain datatypes (the 'xsd:string'
     sentinel and its expanded spelling render as plain literals)."""
-    esc = F.regexp_replace(F.col("o"), r"\\", r"\\\\")
-    esc = F.regexp_replace(esc, '"', r"\\\"")
-    esc = F.regexp_replace(esc, "\n", r"\\n")
-    esc = F.regexp_replace(esc, "\r", r"\\r")
-    esc = F.regexp_replace(esc, "\t", r"\\t")
+    from ..operators.emit import escape_literal
+
+    esc = escape_literal(F.col("o"))
+
     dt = F.col("o_datatype")
     plain = dt.isNull() | (dt == F.lit(_PLAIN)) | (dt == F.lit(XSD_NS + "string"))
     lit = F.concat(

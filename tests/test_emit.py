@@ -101,7 +101,9 @@ def test_ntriples_rendering(spark):
         "subj string, pred string, obj string, obj_datatype string, source_url string, part_id int",
     )
     lines = sorted(r["value"] for r in triples_to_ntriples(df).collect())
-    assert lines[0] == '<kg:e/1> <kg:surfaceForm> "say \\"hi\\" \\\\ ok"^^<xsd:string> .'
+    # review r3: the plain 'xsd:string' sentinel renders WITHOUT a ^^
+    # suffix ('<xsd:string>' is not an absolute IRI — invalid N-Triples)
+    assert lines[0] == '<kg:e/1> <kg:surfaceForm> "say \\"hi\\" \\\\ ok" .'
     assert lines[1] == "<kg:e/1> <rdf:type> <kg:T> ."
 
 

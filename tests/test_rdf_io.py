@@ -462,3 +462,59 @@ def test_pname_local_escapes(spark, tmp_path):
     for ml in (True, False):
         rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), multiline=ml).collect()}
         assert rows == {("http://e/foo,bar", "http://e/p(x)", "http://e/o@q")}, ml
+
+
+def test_turtle_compaction_gated_on_pn_local(spark, tmp_path):
+    """Review r3: IRIs whose suffix is not valid PN_LOCAL must stay
+    <bracketed> instead of becoming unreadable pnames — the export->read
+    round-trip keeps every triple."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, write_turtle
+
+    E = "http://e/"
+    rows = [
+        (f"{E}ok", f"{E}p", f"{E}page?id=1", None, None),   # '?' not PN_LOCAL
+        (f"{E}ok", f"{E}p", f"{E}x,y", None, None),          # ',' not PN_LOCAL
+        (f"{E}ok", f"{E}p", f"{E}v1.", None, None),          # trailing '.'
+        (f"{E}ok", f"{E}p", f"{E}plain", None, None),        # compactable
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, o_datatype string, o_lang string")
+    out = str(tmp_path / "gate_ttl")
+    write_turtle(df, out, prefixes={"e": E})
+    back = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(out)).collect()}
+    assert back == {(s, p, o) for s, p, o, _, _ in rows}
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(f"{out}/part-*")))
+    assert "<http://e/page?id=1>" in text and "e:plain" in text
+
+
+def test_ntriples_writer_lang_and_plain_sentinel(spark, tmp_path):
+    """Review r3: '@lang' survives the N-Triples sink and the plain
+    'xsd:string' sentinel renders without the invalid <xsd:string> suffix."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_ntriples, write_ntriples
+
+    df = spark.createDataFrame(
+        [
+            ("kg:a", "kg:label", "bonjour", "xsd:string", "fr", 0),
+            ("kg:a", "kg:name", "Ada", "xsd:string", None, 0),
+        ],
+        "subj string, pred string, obj string, obj_datatype string, obj_lang string, part_id int",
+    )
+    out = str(tmp_path / "lang_nt")
+    write_ntriples(df, out)
+    import glob
+
+    text = "".join(open(f).read() for f in sorted(glob.glob(f"{out}/part-*")))
+    assert '"bonjour"@fr' in text and '"Ada" .' in text and "<xsd:string>" not in text
+    back = {(r["o"], r["o_datatype"], r["o_lang"]) for r in read_ntriples(spark, out).collect()}
+    assert back == {("bonjour", "xsd:string", "fr"), ("Ada", "xsd:string", None)}
+
+
+def test_unescape_rejects_pseudo_hex(spark):
+    r"""Review r3: int('+FFF', 16) succeeds — the strict hex gate must keep
+    '\u+FFF' and '\u 123' verbatim instead of decoding bogus codepoints."""
+    from rdf_i2b2_converter_spark.sources.rdf import _unescape
+
+    assert _unescape(r"a\u+FFFb") == r"a\u+FFFb"
+    assert _unescape(r"a\u 123b") == r"a\u 123b"
+    assert _unescape(r"aAb") == "aAb"
