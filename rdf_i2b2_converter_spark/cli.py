@@ -180,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pe = sub.add_parser("export", help="triples -> N-Triples/Turtle text")
     pe.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
-    pe.add_argument("--format", choices=["auto", "parquet", "ntriples", "turtle"], default="auto")
+    pe.add_argument("--format", choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines"], default="auto")
     pe.add_argument("--to", choices=["ntriples", "turtle"], default="turtle")
     pe.add_argument("--prefix", action="append", metavar="p=iri",
                     help="prefix table entries for turtle compaction (repeatable)")

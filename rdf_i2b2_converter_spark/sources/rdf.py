@@ -752,8 +752,10 @@ def scan_turtle_errors(spark: SparkSession, path: str, multiline: bool = True) -
 
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """guess_format front door (src/utils.py:48-75 analog): dispatch on
-    explicit ``fmt`` ('ntriples'|'turtle'|'parquet') or file extension
-    (.nt/.ttl), defaulting to a parquet triples table."""
+    explicit ``fmt`` ('ntriples'|'turtle'|'turtle-lines'|'parquet') or
+    file extension (.nt/.ttl), defaulting to a parquet triples table.
+    'turtle-lines' selects the line-splittable statement-per-line subset
+    (the huge-single-file scale path)."""
     fmt = fmt or (
         "ntriples" if path.endswith(".nt")
         else "turtle" if path.endswith(".ttl")
@@ -763,6 +765,8 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return read_ntriples(spark, path)
     if fmt == "turtle":
         return read_turtle(spark, path)
+    if fmt == "turtle-lines":
+        return read_turtle(spark, path, multiline=False)
     return spark.read.parquet(path)
 
 

@@ -518,3 +518,13 @@ def test_unescape_rejects_pseudo_hex(spark):
     assert _unescape(r"a\u+FFFb") == r"a\u+FFFb"
     assert _unescape(r"a\u 123b") == r"a\u 123b"
     assert _unescape(r"aAb") == "aAb"
+
+
+def test_read_rdf_turtle_lines_dispatch(spark, tmp_path):
+    f = tmp_path / "d.ttl"
+    f.write_text("@prefix ex: <http://e/> .\nex:a ex:p ex:b .\n")
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    rows = {(r["s"], r["p"], r["o"])
+            for r in read_rdf(spark, str(f), fmt="turtle-lines").collect()}
+    assert rows == {("http://e/a", "http://e/p", "http://e/b")}
