@@ -148,23 +148,42 @@ def apply_canonical(df: DataFrame, mapping: DataFrame, id_col: str, out_col: str
 
 
 def refine_clusters(linked: DataFrame, group_col: str = "component") -> DataFrame:
-    """Per-cluster refinement via applyInPandas (groupBy-applyInPandas
-    clustering of BASELINE.json north_star): within each canonical
-    component, pick the representative surface (highest total occurrence
-    count, ties lexicographic) and stamp it on every member — the analog of
-    the reference's per-group value relocation (merge_datafields.py C9/I4).
+    """Per-cluster refinement: within each canonical component, pick the
+    representative surface (highest total occurrence count, ties
+    lexicographic) and stamp it on every member — the analog of the
+    reference's per-group value relocation (merge_datafields.py C9/I4).
+
+    Fully declarative (VERDICT r3 #2): the old per-component applyInPandas
+    materialized an entire component in one task's pandas frame, and the LSH
+    giant-bucket cap (dedup.py) deliberately star-links boilerplate clusters
+    that CC then merges — so the biggest component is BY DESIGN the corpus's
+    boilerplate cluster, potentially 10^7+ members. The rep computation is
+    just an argmax of summed counts:
+
+    1. ``groupBy(component, surface).sum`` — map-side partial combine means
+       the shuffle carries one row per distinct (component, surface), not
+       per member; distinct surfaces of a giant component spread across
+       reducers, so no single task holds the component.
+    2. ``min_by(surface, struct(-total, surface))`` — argmax with the exact
+       pandas tie-break (max total, then lexicographically smallest).
+    3. Equi-join the one-row-per-component reps back on ``group_col`` — AQE
+       converts it to broadcast when reps is small and splits the skewed
+       giant-component partition otherwise; no driver-side assumption about
+       the number of components.
     """
-    import pandas as pd
-
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in linked.schema.fields)
-    out_schema += ", rep_surface string"
-
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        totals = pdf.groupby("surface")["n_occurrences"].sum().sort_values(ascending=False)
-        best = sorted(totals[totals == totals.iloc[0]].index)[0] if len(totals) else None
-        return pdf.assign(rep_surface=best)
-
-    return linked.groupBy(group_col).applyInPandas(refine, schema=out_schema)
+    totals = (
+        linked.filter(F.col("surface").isNotNull())  # pandas groupby drops NaN keys
+        .groupBy(group_col, "surface")
+        .agg(F.coalesce(F.sum("n_occurrences"), F.lit(0)).alias("__tot"))
+    )
+    reps = totals.groupBy(group_col).agg(
+        F.min_by(
+            "surface", F.struct((-F.col("__tot")).alias("n"), F.col("surface").alias("s"))
+        ).alias("rep_surface")
+    )
+    # left join: a component whose surfaces are all NULL keeps its rows with
+    # rep_surface NULL, exactly like the old per-group pandas path
+    return linked.join(reps, group_col, "left").select(*linked.columns, "rep_surface")
 
 
 def salt_keys(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
