@@ -4,19 +4,63 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The headline metric is total wall seconds over the suite; ``docs_per_sec``
-(KG pipeline throughput) and per-query seconds are included for the
-BASELINE.md comparison. Scaling-efficiency evidence across two parallelism
-levels is produced by bench_scaling.py (subprocess per level — one JVM
-cannot change its master).
+Median-of-3 protocol (VERDICT r3 #4): the suite runs 3x back-to-back in
+one JVM; ``value`` and per-query ``queries`` are the per-query MEDIANS, and
+``runs`` carries each run's total so host drift is visible in the artifact.
+The single-threaded reference proxy (bench_reference_proxy logic, reduced N)
+runs in the same invocation: this box shares silicon with co-tenants and
+multi-core walls have been observed to swing 4x between rounds while
+single-thread speed stays stable, so ``ratio`` (engine docs/sec over proxy
+docs/sec) is the drift-robust throughput metric to compare across rounds.
+
+Scaling-efficiency evidence across two parallelism levels is produced by
+bench_scaling.py (subprocess per level — one JVM cannot change its master).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+PROXY_DOCS = int(os.environ.get("SPARK_GRAFT_PROXY_DOCS", "20000"))
+
+
+def _run_proxy(n_docs: int) -> float:
+    """Single-thread reference-style proxy (same inner-loop code as
+    bench_reference_proxy.py, reduced N): returns docs/sec."""
+    import hashlib
+    import re
+
+    from rdf_i2b2_converter_spark.config import TOKEN_SPLIT_REGEX
+    from rdf_i2b2_converter_spark.functions.text import extract_text_py
+    from rdf_i2b2_converter_spark.operators.mentions import TokenAhoCorasick
+    from rdf_i2b2_converter_spark.sources import synthetic as syn
+
+    gaz = syn.gen_gazetteer_rows()
+    best: dict[str, tuple[str, float]] = {}
+    for surface, type_uri, _canon, weight in gaz:
+        if surface not in best or weight > best[surface][1]:
+            best[surface] = (type_uri, weight)
+    ac = TokenAhoCorasick(sorted(best))
+    split = re.compile(TOKEN_SPLIT_REGEX)
+    t0 = time.time()
+    for i in range(n_docs):
+        d = syn.gen_doc(i)
+        text = extract_text_py(d["html"])
+        toks = [t for t in split.split(text.lower()) if t]
+        seen: set[str] = set()
+        for surface, _b, _e in ac.find(toks):
+            seen.add(surface)
+        for surface in seen:
+            type_uri, _w = best[surface]
+            _ = "kg:e/" + hashlib.md5(
+                f"{d['url']}|{type_uri}|{surface}".encode()
+            ).hexdigest()
+    return n_docs / (time.time() - t0)
 
 
 def main() -> None:
@@ -55,16 +99,29 @@ def main() -> None:
         "s_ann_topk",           # embedding similarity
         "j_windowed_counts",    # windowed agg (streaming analog)
     ]
-    timings: dict[str, float] = {}
-    for name in suite:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+    all_timings: list[dict[str, float]] = []
+    for _run in range(N_RUNS):
+        timings: dict[str, float] = {}
+        for name in suite:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        all_timings.append(timings)
+    median_timings = {
+        name: round(statistics.median(t[name] for t in all_timings), 3)
+        for name in suite
+    }
+    run_totals = [round(sum(t.values()), 3) for t in all_timings]
+    total = round(sum(median_timings.values()), 3)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    docs_per_sec = round(n_docs / timings["kg_type_triples"], 1)
-    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / median_timings["kg_type_triples"], 1)
+
+    # single-thread reference proxy in the SAME invocation/window, so the
+    # engine/proxy ratio is computed under identical co-tenant weather
+    proxy_dps = round(_run_proxy(PROXY_DOCS), 1)
+    ratio = round(docs_per_sec / proxy_dps, 2) if proxy_dps else None
 
     # headline correctness metric (BASELINE: triple P/R >= 0.95 vs the
     # reference-semantics oracle): engine triples vs the pure-Python oracle
@@ -102,9 +159,13 @@ def main() -> None:
                 "metric": "headline_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": median_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": run_totals,
+                "median": total,
                 "docs_per_sec": docs_per_sec,
+                "proxy_docs_per_sec": proxy_dps,
+                "ratio": ratio,
                 "cpus": cpus,
                 "triple_precision": precision,
                 "triple_recall": recall,
@@ -112,7 +173,8 @@ def main() -> None:
                 # with co-tenants; a 1-min load >> 0 at start or a large
                 # rise during the run means the numbers are inflated by
                 # EXTERNAL work (observed up to 4x) — compare only runs
-                # with similar load fields
+                # with similar load fields; the ratio field above is the
+                # drift-robust cross-round metric
                 "load_avg_start": load_start,
                 "load_avg_end": round(os.getloadavg()[0], 2),
             }
