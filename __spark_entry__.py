@@ -584,26 +584,28 @@ GROUP BY event_type
 """
 
 
-def _f1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+def _f1_f3_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 union-distinct + F3 set-difference in one driver slot: nation
+    keys of customers WITHOUT orders (anti-join difference), union-distinct
+    with supplier nation keys.
+
+    Merged from the former f1_union_distinct / f3_except queries so both
+    operators stay inside the driver's 50-query window (VERDICT r3 #1)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    no_orders = cust.join(with_orders, "c_custkey", "left_anti").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.unionByName(supp).distinct()
+    return no_orders.unionByName(supp).distinct()
 
 
-_F1_SQL = """
+_F1_F3_SQL = """
 SELECT c_nationkey AS nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 UNION
 SELECT s_nationkey FROM supplier
 """
-
-
-def _f3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
-    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.join(with_orders, "c_custkey", "left_anti").distinct()
-
-
-_F3_SQL = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
 
 
 # --------------------------------------------------------------------------
@@ -1444,6 +1446,58 @@ SELECT DISTINCT prop, range_class FROM u
 """
 
 
+def _a1c_rdfxml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — RDF/XML source (the reference's second guess_format front door,
+    src/utils.py:58-63): synthesize a deterministic .rdf from the nation
+    table (typed node elements, property attributes, rdf:resource
+    shortcuts, typed + lang literals), parse it with the engine's expat
+    streaming reader, return the triples."""
+    import os
+    import tempfile
+
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    parts = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:ex="http://ex.org/">',
+    ]
+    for r in nat:
+        k, reg, nm = r["n_nationkey"], r["n_regionkey"], r["n_name"]
+        parts.append(
+            f'  <ex:Nation rdf:about="http://ex.org/n{k}" ex:code="{nm}">\n'
+            f'    <ex:inRegion rdf:resource="http://ex.org/r{reg}"/>\n'
+            f'    <ex:key rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">{k}</ex:key>\n'
+            f'    <ex:label xml:lang="en">{nm}</ex:label>\n'
+            f"  </ex:Nation>"
+        )
+    parts.append("</rdf:RDF>")
+    d = tempfile.mkdtemp(prefix="rdfxml_scan_")
+    path = os.path.join(d, "nations.rdf")
+    with open(path, "w") as fh:
+        fh.write("\n".join(parts) + "\n")
+    return read_rdfxml(spark, path).select("s", "p", "o", "o_datatype", "o_lang")
+
+
+_A1C_RDFXML_SQL = """
+WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation)
+SELECT 'http://ex.org/n' || k AS s,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'http://ex.org/Nation' AS o,
+       NULL::VARCHAR AS o_datatype, NULL::VARCHAR AS o_lang FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/code', nm, 'xsd:string', NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/inRegion', 'http://ex.org/r' || r, NULL, NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR,
+       'http://www.w3.org/2001/XMLSchema#integer', NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/label', nm, 'xsd:string', 'en' FROM n
+"""
+
+
 def _c5_provider_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 star-schema path — the reference's 4-hop provider query feeding
     PROVIDER_DIMENSION (src/starschema.py:65-116): provider instances from
@@ -1506,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources (A1) + star schema (C5/B3/B4 composite)
         "a1_turtle_scan": _a1_turtle_scan,
         "a1b_turtle_unionof": _a1b_turtle_unionof,
+        "a1c_rdfxml_scan": _a1c_rdfxml_scan,
         "c5_provider_dim": _c5_provider_dim,
         # KG pipeline (north_star semantics)
         "kg_mentions": _kg_mentions,
@@ -1540,8 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_d1_rname_distinct": _h2_d1_rname_distinct,
         "b1_blacklist_filter": _b1_blacklist,
         "b7_mandatory_filter": _b7_mandatory,
-        "f1_union_distinct": _f1_union_distinct,
-        "f3_except": _f3_except,
+        "f1_f3_setops": _f1_f3_setops,
         # scalar functions (H4, H9, H13)
         "h4_format_date": _h4_format_date,
         "h9_regexp_extract": _h9_regexp_extract,
@@ -1572,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "a1_turtle_scan": _A1_TURTLE_SQL,
         "a1b_turtle_unionof": _A1B_UNIONOF_SQL,
+        "a1c_rdfxml_scan": _A1C_RDFXML_SQL,
         "c5_provider_dim": _C5_PROVIDER_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_type_triples": _KG_TYPE_TRIPLES_SQL,
@@ -1599,8 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         "h2_d1_rname_distinct": _H2_D1_SQL,
         "b1_blacklist_filter": _B1_SQL,
         "b7_mandatory_filter": _B7_SQL,
-        "f1_union_distinct": _F1_SQL,
-        "f3_except": _F3_SQL,
+        "f1_f3_setops": _F1_F3_SQL,
         "h4_format_date": _H4_SQL,
         "h9_regexp_extract": _H9_SQL,
         "h11_xml_template": _h11_sql(),

@@ -10,6 +10,21 @@ from rdf_i2b2_converter_spark.sources.rdf import (
 )
 
 
+def _norm_bnodes(rows):
+    """Canonical bnode renaming (labels are document-scoped and the reader
+    remaps them per file — ADVICE r3): replace each distinct ``_:`` label
+    with _:B0, _:B1, ... in first-appearance order of sorted rows."""
+    mapping: dict[str, str] = {}
+
+    def m(v):
+        if isinstance(v, str) and v.startswith("_:"):
+            return mapping.setdefault(v, f"_:B{len(mapping)}")
+        return v
+
+    key = lambda row: tuple("" if v is None else str(v) for v in row)  # noqa: E731
+    return {tuple(m(v) for v in row) for row in sorted(rows, key=key)}
+
+
 NT = """# a comment
 <http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
 <http://ex.org/a> <http://ex.org/label> "hello world" .
@@ -102,9 +117,13 @@ def test_read_turtle_subset(spark, tmp_path):
     XSD = "http://www.w3.org/2001/XMLSchema#"
     assert (f"{RES}obs1", f"{SPHN}hasCount", "42", f"{XSD}integer", None) in rows
     assert (f"{RES}obs1", f"{SPHN}hasRatio", "0.5", f"{XSD}decimal", None) in rows
-    # blank nodes both positions
-    assert ("_:b1", f"{SPHN}memberOf", f"{RES}obs1", None, None) in rows
-    assert (f"{RES}obs1", f"{SPHN}hasUnit", "_:b1", None, None) in rows
+    # blank nodes both positions: the explicit _:b1 label is remapped into
+    # the per-file namespace (document-scoped labels) but stays CONSISTENT
+    # across its two occurrences
+    b1 = next(s for (s, p, o, dt, lg) in rows if p == f"{SPHN}memberOf")
+    assert b1.startswith("_:") and b1.endswith("_b1")
+    assert (b1, f"{SPHN}memberOf", f"{RES}obs1", None, None) in rows
+    assert (f"{RES}obs1", f"{SPHN}hasUnit", b1, None, None) in rows
     assert ("https://raw.example/x", f"{SPHN}hasLabel", "plain", "xsd:string", None) in rows
     assert df.count() == 10
     assert scan_turtle_errors(spark, str(f)).count() == 0
@@ -147,8 +166,8 @@ def test_turtle_ntriples_equivalence(spark, tmp_path):
     )
     from rdf_i2b2_converter_spark.sources.rdf import read_ntriples, read_turtle
 
-    t = {tuple(r) for r in read_turtle(spark, str(ttl)).collect()}
-    n = {tuple(r) for r in read_ntriples(spark, str(nt)).collect()}
+    t = _norm_bnodes(tuple(r) for r in read_turtle(spark, str(ttl)).collect())
+    n = _norm_bnodes(tuple(r) for r in read_ntriples(spark, str(nt)).collect())
     assert t == n
 
 
@@ -180,11 +199,13 @@ def test_turtle_no_space_before_terminator(spark, tmp_path):
     )
     from rdf_i2b2_converter_spark.sources.rdf import read_turtle, scan_turtle_errors
 
-    rows = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    rows = _norm_bnodes(
+        (r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()
+    )
     assert rows == {
         ("ex:a", "ex:p", "ex:b"),
         ("ex:a", "ex:n", "5"),
-        ("ex:a", "ex:k", "_:b1"),
+        ("ex:a", "ex:k", "_:B0"),
         ("ex:a", "ex:s", "x"),
     }
     assert scan_turtle_errors(spark, str(f)).count() == 0
@@ -408,8 +429,8 @@ def test_turtle_writer_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(rows, "s string, p string, o string, o_datatype string, o_lang string")
     out = str(tmp_path / "ttl_out")
     write_turtle(df, out, prefixes={"ex": EX, "xsd": "http://www.w3.org/2001/XMLSchema#"})
-    back = {tuple(r) for r in read_turtle(spark, out).collect()}
-    want = {
+    back = _norm_bnodes(tuple(r) for r in read_turtle(spark, out).collect())
+    want = _norm_bnodes({
         (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}T", None, None),
         (f"{EX}a", f"{EX}knows", "_:b0", None, None),
         (f"{EX}a", f"{EX}name", 'Ada "the first"', "xsd:string", None),
@@ -417,7 +438,7 @@ def test_turtle_writer_roundtrip(spark, tmp_path):
         (f"{EX}a", f"{EX}bio", "line1\nline2\ttab", "xsd:string", None),
         ("_:b0", f"{EX}age", "36", "http://www.w3.org/2001/XMLSchema#integer", None),
         (f"{EX}a", f"{EX}knows", f"{EX}b", None, None),
-    }
+    })
     assert back == want
     # compact shape on disk: 'a' keyword, ';' predicate groups, prefix header
     import glob
@@ -528,3 +549,221 @@ def test_read_rdf_turtle_lines_dispatch(spark, tmp_path):
     rows = {(r["s"], r["p"], r["o"])
             for r in read_rdf(spark, str(f), fmt="turtle-lines").collect()}
     assert rows == {("http://e/a", "http://e/p", "http://e/b")}
+
+
+# ------------------------------------------------- chunked document mode
+
+
+def test_cross_file_bnode_labels_do_not_merge(spark, tmp_path):
+    """ADVICE r3: serializer-style _:b0 labels in DIFFERENT files are
+    document-scoped and must stay distinct in a multi-file read (both
+    document and line mode)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "f1.ttl").write_text("@prefix ex: <http://e/> .\n_:b0 ex:p ex:o1 .\n")
+    (d / "f2.ttl").write_text("@prefix ex: <http://e/> .\n_:b0 ex:p ex:o2 .\n")
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    for ml in (True, False):
+        rows = read_turtle(spark, str(d), multiline=ml).collect()
+        subs = {r["s"] for r in rows}
+        assert len(subs) == 2, (ml, subs)
+        assert all(s.startswith("_:g") and s.endswith("_b0") for s in subs)
+
+
+CHUNK_TTL_HEAD = """@prefix ex: <http://ex.org/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@base <http://base.org/dir/> .
+"""
+
+
+def _chunk_fixture_text() -> str:
+    parts = [CHUNK_TTL_HEAD]
+    for i in range(120):
+        if i % 4 == 0:
+            parts.append(
+                f"ex:p{i} a owl:ObjectProperty ;\n"
+                f"    ex:range [ a owl:Class ; owl:unionOf ( ex:a{i} ex:b{i} ) ] ;\n"
+                f'    ex:label """multi\nline {i}""" .\n'
+            )
+        elif i % 4 == 1:
+            parts.append(f"<rel{i}> ex:near <#frag{i}> .\n")
+        elif i % 4 == 2:
+            parts.append(f'_:shared ex:holds ex:v{i} ; ex:note "n{i}"@en .\n')
+        else:
+            parts.append(f"ex:s{i} ex:list ( {i} {i}.5 true ) .\n")
+        if i == 60:  # mid-file re-declaration: chunk state must track it
+            parts.append("@prefix ex: <http://ex2.org/> .\n")
+    return "".join(parts)
+
+
+def test_chunked_document_parse_identical(spark, tmp_path):
+    """VERDICT r3 #7: the chunked document reader must produce EXACTLY the
+    single-task parse output (offset-stable bnode labels, per-chunk prefix/
+    base state incl. a mid-file @prefix re-declaration) across N tasks."""
+    f = tmp_path / "big.ttl"
+    text = _chunk_fixture_text()
+    f.write_text(text)
+    from rdf_i2b2_converter_spark.sources.rdf import _chunk_turtle_text, read_turtle
+
+    chunks = _chunk_turtle_text(text, 500)
+    assert len(chunks) > 10  # genuinely split
+    single = {tuple(r) for r in read_turtle(spark, str(f)).collect()}
+    chunked = {tuple(r) for r in read_turtle(spark, str(f), chunk_bytes=500).collect()}
+    assert chunked == single
+    assert len(single) > 300
+    # compact mode too
+    single_c = {tuple(r) for r in read_turtle(spark, str(f), expand_prefixes=False).collect()}
+    chunked_c = {
+        tuple(r)
+        for r in read_turtle(spark, str(f), expand_prefixes=False, chunk_bytes=500).collect()
+    }
+    assert chunked_c == single_c
+
+
+def test_scan_turtle_errors_conflicting_prefix_redeclaration(spark, tmp_path):
+    """ADVICE r3: line mode silently applies last-wins to re-declared
+    prefixes — the conflict must surface in the error scan."""
+    f = tmp_path / "dup.ttl"
+    f.write_text(
+        "@prefix ex: <http://one.org/> .\n"
+        "ex:a ex:p ex:b .\n"
+        "@prefix ex: <http://two.org/> .\n"
+        "ex:c ex:p ex:d .\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import scan_turtle_errors
+
+    errs = scan_turtle_errors(spark, str(f), multiline=False).collect()
+    assert any("conflicting IRI" in r["error"] for r in errs)
+
+
+# --------------------------------------------------------------- RDF/XML
+
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://ex.org/"
+         xml:base="http://base.org/">
+  <owl:Class rdf:about="http://ex.org/Diagnosis">
+    <rdfs:label xml:lang="en">Diagnosis</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://ex.org/Concept"/>
+  </owl:Class>
+  <rdf:Description rdf:about="http://ex.org/obs1" ex:site="lab">
+    <rdf:type rdf:resource="http://ex.org/Diagnosis"/>
+    <ex:hasValue rdf:datatype="http://www.w3.org/2001/XMLSchema#double">7.5</ex:hasValue>
+    <ex:hasUnit rdf:nodeID="u1"/>
+    <ex:knows>
+      <ex:Person rdf:about="http://ex.org/p1"/>
+    </ex:knows>
+    <ex:pair rdf:parseType="Resource">
+      <ex:x>1</ex:x>
+    </ex:pair>
+  </rdf:Description>
+  <owl:Class rdf:ID="Local">
+    <owl:unionOf rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://ex.org/A"/>
+      <rdf:Description rdf:about="http://ex.org/B"/>
+    </owl:unionOf>
+  </owl:Class>
+  <rdf:Description rdf:nodeID="u1">
+    <ex:code>mg</ex:code>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_read_rdfxml(spark, tmp_path):
+    f = tmp_path / "g.rdf"
+    f.write_text(RDFXML)
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, scan_rdfxml_errors
+
+    df = read_rdfxml(spark, str(f))
+    rows = {(r["s"], r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in df.collect()}
+    EX, OWL = "http://ex.org/", "http://www.w3.org/2002/07/owl#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    # typed node element -> rdf:type; lang literal; resource shortcut
+    assert (f"{EX}Diagnosis", f"{RDF_NS}type", f"{OWL}Class", None, None) in rows
+    assert (f"{EX}Diagnosis", f"{RDFS}label", "Diagnosis", "xsd:string", "en") in rows
+    assert (f"{EX}Diagnosis", f"{RDFS}subClassOf", f"{EX}Concept", None, None) in rows
+    # property attribute, rdf:type property, typed literal
+    assert (f"{EX}obs1", f"{EX}site", "lab", "xsd:string", None) in rows
+    assert (f"{EX}obs1", f"{RDF_NS}type", f"{EX}Diagnosis", None, None) in rows
+    assert (f"{EX}obs1", f"{EX}hasValue", "7.5",
+            "http://www.w3.org/2001/XMLSchema#double", None) in rows
+    # nodeID remapped consistently across both occurrences
+    unit = next(o for (s, p, o, dt, lg) in rows if p == f"{EX}hasUnit")
+    assert unit.startswith("_:") and unit.endswith("_u1")
+    assert (unit, f"{EX}code", "mg", "xsd:string", None) in rows
+    # striped nested node element
+    assert (f"{EX}obs1", f"{EX}knows", f"{EX}p1", None, None) in rows
+    assert (f"{EX}p1", f"{RDF_NS}type", f"{EX}Person", None, None) in rows
+    # parseType=Resource bnode carries the inner property
+    pair = next(o for (s, p, o, dt, lg) in rows if p == f"{EX}pair")
+    assert pair.startswith("_:")
+    assert (pair, f"{EX}x", "1", "xsd:string", None) in rows
+    # rdf:ID resolves against xml:base
+    assert ("http://base.org/#Local", f"{RDF_NS}type", f"{OWL}Class", None, None) in rows
+    # parseType=Collection -> first/rest/nil spine
+    head = next(o for (s, p, o, dt, lg) in rows if p == f"{OWL}unionOf")
+    firsts = {o for (s, p, o, dt, lg) in rows if p == f"{RDF_NS}first"}
+    assert firsts == {f"{EX}A", f"{EX}B"} and head.startswith("_:")
+    assert any(o == f"{RDF_NS}nil" for (s, p, o, dt, lg) in rows if p == f"{RDF_NS}rest")
+    assert scan_rdfxml_errors(spark, str(f)).count() == 0
+
+
+def test_rdfxml_matches_turtle_equivalent(spark, tmp_path):
+    """VERDICT r3 #3 'done' criterion: an .rdf fixture parses to the same
+    triples as its .ttl equivalent (modulo bnode labels)."""
+    ttl = tmp_path / "eq.ttl"
+    rdf = tmp_path / "eq.rdf"
+    ttl.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:a a ex:T ;\n"
+        '    rdfs:label "hello"@en ;\n'
+        '    ex:num "42"^^<http://www.w3.org/2001/XMLSchema#integer> ;\n'
+        "    ex:sees ex:b .\n"
+    )
+    rdf.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '         xmlns:ex="http://ex.org/">\n'
+        '  <ex:T rdf:about="http://ex.org/a">\n'
+        '    <rdfs:label xml:lang="en">hello</rdfs:label>\n'
+        '    <ex:num rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:num>\n'
+        '    <ex:sees rdf:resource="http://ex.org/b"/>\n'
+        "  </ex:T>\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    t = _norm_bnodes(tuple(r) for r in read_rdf(spark, str(ttl)).collect())
+    x = _norm_bnodes(tuple(r) for r in read_rdf(spark, str(rdf)).collect())
+    assert t == x
+
+
+def test_rdfxml_error_failsoft(spark, tmp_path):
+    """Malformed XML: triples before the error survive, the error surfaces
+    in the scan (report, don't crash the ingest)."""
+    f = tmp_path / "bad.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://ex.org/">\n'
+        '  <rdf:Description rdf:about="http://ex.org/ok">\n'
+        "    <ex:p>fine</ex:p>\n"
+        "  </rdf:Description>\n"
+        "  <rdf:Description rdf:about='http://ex.org/broken'>\n"
+        "    <ex:q>unclosed\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, scan_rdfxml_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
+    assert ("http://ex.org/ok", "http://ex.org/p", "fine") in rows
+    assert scan_rdfxml_errors(spark, str(f)).count() >= 1
