@@ -621,29 +621,14 @@ def _expand_col(name: str, bit: int, prefixes: dict[str, str]):
     return expr.alias(name)
 
 
-def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) -> DataFrame:
-    """Statement-per-line Turtle — the SPLITTABLE scale path (a 100 TB
-    single-file dump parallelizes by line ranges). SINGLE text scan:
-    workers parse with compact pnames + pn_mask markers and emit prefix
-    directives as tagged rows in the same pass; expansion happens
-    Catalyst-side from the collected (tiny) prefix table. In expand mode
-    the parsed columnar output is localCheckpoint'ed once — the price of
-    the single scan is one materialization of the PARSED triples (much
-    smaller than the raw text), not a second pass over the corpus.
-
-    Prefix scope caveat (ADVICE r3): the collected prefix table is WHOLE-
-    FILE-scoped and last-wins — a statement textually before a later
-    ``@prefix`` declaration (or a re-declaration of the same label with a
-    different IRI) expands with the final mapping, diverging from Turtle's
-    declaration-ordered semantics. Statement-per-line corpora declare
-    prefixes once up front, where the two semantics coincide; conflicting
-    re-declarations are surfaced by :func:`scan_turtle_errors`. Explicit
-    ``_:label`` blank nodes are remapped into a per-FILE namespace (labels
-    are document-scoped; ``_:b0`` in two files must not merge)."""
+def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
+    """The statement-per-line parse stage over any (file, value) lines
+    DataFrame -> tagged frame ('p' prefix rows / 't' triple rows with
+    pn_mask markers). STATELESS (no collect, no checkpoint), so it applies
+    unchanged to a STREAMING lines source (streaming/stream.
+    read_turtle_lines_stream) — the same reuse shape as
+    :func:`ntriples_from_lines`."""
     import pandas as pd
-
-    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
-    mode = "defer" if expand_prefixes else "compact"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["kind", *_TRIPLE_COLS, "pn_mask"]
@@ -672,7 +657,32 @@ def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) ->
                 rows.extend(("t", *r) for r in parser.rows)
             yield pd.DataFrame(rows, columns=cols)
 
-    parsed = lines.mapInPandas(parse, schema=f"kind string, {_TRIPLE_SCHEMA}, pn_mask int")
+    return lines.mapInPandas(parse, schema=f"kind string, {_TRIPLE_SCHEMA}, pn_mask int")
+
+
+def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) -> DataFrame:
+    """Statement-per-line Turtle — the SPLITTABLE scale path (a 100 TB
+    single-file dump parallelizes by line ranges). SINGLE text scan:
+    workers parse with compact pnames + pn_mask markers and emit prefix
+    directives as tagged rows in the same pass; expansion happens
+    Catalyst-side from the collected (tiny) prefix table. In expand mode
+    the parsed columnar output is localCheckpoint'ed once — the price of
+    the single scan is one materialization of the PARSED triples (much
+    smaller than the raw text), not a second pass over the corpus.
+
+    Prefix scope caveat (ADVICE r3): the collected prefix table is WHOLE-
+    FILE-scoped and last-wins — a statement textually before a later
+    ``@prefix`` declaration (or a re-declaration of the same label with a
+    different IRI) expands with the final mapping, diverging from Turtle's
+    declaration-ordered semantics. Statement-per-line corpora declare
+    prefixes once up front, where the two semantics coincide; conflicting
+    re-declarations are surfaced by :func:`scan_turtle_errors`. Explicit
+    ``_:label`` blank nodes are remapped into a per-FILE namespace (labels
+    are document-scoped; ``_:b0`` in two files must not merge)."""
+    import pandas as pd
+
+    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    parsed = turtle_lines_plan(lines, "defer" if expand_prefixes else "compact")
     if not expand_prefixes:
         return parsed.filter(F.col("kind") == "t").select(*_TRIPLE_COLS)
     parsed = parsed.localCheckpoint(eager=True)

@@ -107,3 +107,41 @@ def read_ntriples_stream(
         .text(path)
     )
     return ntriples_from_lines(lines)
+
+
+def read_turtle_lines_stream(
+    spark: SparkSession,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming A1 for statement-per-line Turtle (VERDICT r3 #8):
+    ``readStream.text`` over a drop directory -> the SAME stateless parse
+    stage as the batch line reader (sources/rdf.turtle_lines_plan — a pure
+    mapInPandas, legal on a streaming DataFrame).
+
+    Prefix expansion on a stream cannot collect the prefix table mid-query
+    (no actions on streams), so it takes a STATIC ``prefixes`` dict —
+    e.g. ``turtle_prefixes(spark, existing_corpus)`` gathered batch-side,
+    the natural fit for a crawl whose prefix set is fixed config — and
+    applies the same Catalyst-side pn_mask expansion as batch. With
+    ``prefixes=None`` triples come back in compact form. Unparseable
+    lines are dropped exactly as in batch (fail-soft)."""
+    from ..sources.rdf import _TRIPLE_COLS, _expand_col, turtle_lines_plan
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+        .select(F.input_file_name().alias("file"), "value")
+    )
+    parsed = turtle_lines_plan(lines, "defer" if prefixes else "compact")
+    triples = parsed.filter(F.col("kind") == "t")
+    if not prefixes:
+        return triples.select(*_TRIPLE_COLS)
+    return triples.select(
+        _expand_col("s", 1, prefixes),
+        _expand_col("p", 2, prefixes),
+        _expand_col("o", 4, prefixes),
+        _expand_col("o_datatype", 8, prefixes),
+        F.col("o_lang"),
+    )
