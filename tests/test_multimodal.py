@@ -125,3 +125,63 @@ def test_decode_asset_fake_is_total(spark):
         assert len(decode_asset(payload, "x", fake=True)) == 8
         with _pytest.raises(ValueError):
             decode_asset(payload, "x")
+
+
+def test_png_decode_roundtrip_all_filters():
+    """VERDICT r3 #6: each PNG scanline filter (None/Sub/Up/Average/Paeth)
+    must unfilter back to the exact pixel means; RGB, RGBA and gray."""
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_png, encode_png
+
+    px = [[(r * 37 % 256, c * 53 % 256, (r + c) * 11 % 256) for c in range(7)]
+          for r in range(5)]
+    exp_r = sum(p[0] for row in px for p in row) / 35 / 255.0
+    exp_g = sum(p[1] for row in px for p in row) / 35 / 255.0
+    exp_b = sum(p[2] for row in px for p in row) / 35 / 255.0
+    for ft in range(5):
+        w, h, bpp, mr, mg, mb, luma, n = decode_png(encode_png(px, filter_type=ft))
+        assert (w, h, bpp, n) == (7.0, 5.0, 24.0, 35.0), ft
+        assert abs(mr - exp_r) < 1e-12 and abs(mg - exp_g) < 1e-12 and abs(mb - exp_b) < 1e-12, ft
+    # RGBA: alpha ignored in means
+    pxa = [[(10, 20, 30, 255), (50, 60, 70, 0)]]
+    w, h, bpp, mr, mg, mb, _, n = decode_png(encode_png(pxa, color_type=6, filter_type=4))
+    assert (w, h, bpp, n) == (2.0, 1.0, 32.0, 2.0)
+    assert abs(mr - 30 / 255.0) < 1e-12 and abs(mg - 40 / 255.0) < 1e-12
+    # grayscale: r=g=b
+    pxg = [[(100,), (200,)], [(0,), (50,)]]
+    w, h, bpp, mr, mg, mb, _, n = decode_png(encode_png(pxg, color_type=0, filter_type=2))
+    assert (w, h, bpp, n) == (2.0, 2.0, 8.0, 4.0)
+    assert mr == mg == mb and abs(mr - 350 / 4 / 255.0) < 1e-12
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_asset, decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    # 16-bit depth: sniffed as PNG, rejected as unsupported, fake path covers
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    crc = _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    deep = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + _s.pack(">I", crc))
+    with pytest.raises(ValueError):
+        decode_png(deep + _s.pack(">I", 1) + b"IDAT" + b"x" + _s.pack(">I", 0))
+    feats = decode_asset(deep, "image", fake=True)
+    assert len(feats) == 8  # never-crash ingest path
+
+
+def test_png_features_stable_in_extract(spark):
+    """PNG payloads flow through the distributed mapInPandas extractor with
+    stable (deterministic) features across runs."""
+    from rdf_i2b2_converter_spark.operators.multimodal import extract_features, gen_assets
+
+    assets = gen_assets(spark, 60)
+    a = {r["asset_id"]: tuple(r["features"]) for r in extract_features(assets).collect()}
+    b = {r["asset_id"]: tuple(r["features"]) for r in extract_features(assets).collect()}
+    assert a == b
+    # asset 3 is a real PNG (i%3==0 image, i%9==3): width 4, height 3
+    assert a[3][0] == 4.0 and a[3][1] == 3.0 and a[3][7] == 12.0
