@@ -38,9 +38,11 @@ LEVELS = tuple(
 )
 N_DOCS = int(os.environ.get("SPARK_KG_SCALE_DOCS", "1000000"))
 
+N_RUNS = int(os.environ.get("SPARK_KG_SCALE_RUNS", "3"))
+
 _LEVEL_CODE = """
-import json, os, time, sys
-cpus = {cpus}; n_docs = {n_docs}
+import json, os, time, sys, statistics
+cpus = {cpus}; n_docs = {n_docs}; n_runs = {n_runs}
 from rdf_i2b2_converter_spark.session import get_spark
 from rdf_i2b2_converter_spark.sources import synthetic as syn
 from rdf_i2b2_converter_spark.plans.pipeline import build_triples
@@ -63,13 +65,19 @@ def run(n):
     return build_triples(pages, syn.gen_gazetteer(spark), syn.gen_alias_edges(spark))
 
 run(2000).count()                    # warm codegen + python workers
-t0 = time.time()
-tr = run(n_docs)
-n_triples = tr.count()
-wall = time.time() - t0
+# median-of-n_runs back-to-back (VERDICT r3 #4/#5): per-run walls stay in
+# the record so host drift is visible; the median is the level's number
+walls = []
+n_triples = None
+for _ in range(n_runs):
+    t0 = time.time()
+    n_triples = run(n_docs).count()
+    walls.append(round(time.time() - t0, 2))
+wall = statistics.median(walls)
 h = run(n_docs).agg(F.bit_xor(F.xxhash64("subj", "pred", "obj"))).collect()[0][0]
-print("RESULT " + json.dumps(dict(cpus=cpus, n_docs=n_docs, wall=round(wall, 2),
-      docs_per_sec=round(n_docs / wall, 1), n_triples=n_triples, hash=str(h))))
+print("RESULT " + json.dumps(dict(cpus=cpus, n_docs=n_docs, wall=wall,
+      walls=walls, docs_per_sec=round(n_docs / wall, 1), n_triples=n_triples,
+      hash=str(h), load_avg=round(os.getloadavg()[0], 2))))
 spark.stop()
 """
 
@@ -77,7 +85,7 @@ spark.stop()
 def run_level(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
-        [sys.executable, "-c", _LEVEL_CODE.format(cpus=cpus, n_docs=N_DOCS)],
+        [sys.executable, "-c", _LEVEL_CODE.format(cpus=cpus, n_docs=N_DOCS, n_runs=N_RUNS)],
         env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -111,7 +119,8 @@ def main() -> None:
     top = LEVELS[-1]
 
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['wall']} | {results[c]['docs_per_sec']} "
+        f"| local[{c}] | {results[c]['wall']} | {results[c].get('walls')} "
+        f"| {results[c]['docs_per_sec']} "
         f"| {results[c]['n_triples']:,} | `{results[c]['hash']}` |"
         for c in LEVELS
     )
@@ -156,8 +165,8 @@ cores with SMT. Both 4x pairs are therefore reported: 2 -> 8 isolates the
 ENGINE's scaling (both levels on physical cores), 8 -> 32 is the literal
 N vs 4N protocol and composes the engine with the SMT ceiling.
 
-| level | wall (s) | docs/sec | triples | triple-set hash |
-|---|---|---|---|---|
+| level | median wall (s) | per-run walls | docs/sec | triples | triple-set hash |
+|---|---|---|---|---|---|
 {rows}
 
 {eff_lines}

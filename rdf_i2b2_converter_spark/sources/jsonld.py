@@ -1,0 +1,302 @@
+"""JSON-LD source: the third guess_format front door the reference
+accepts via rdflib (src/utils.py:58-63). From-scratch subset parser on
+stdlib ``json`` — no rdflib — covering the shapes data publishers
+actually emit (schema.org-style embedded metadata, ontology dumps):
+
+- ``@context``: term -> IRI strings, term -> {"@id", "@type"} definitions
+  (``"@type": "@id"`` marks IRI-valued terms, any other value is a
+  datatype coercion), prefix definitions (``"ex": "http://ex.org/"``),
+  ``@base`` and ``@vocab``. Array contexts merge left-to-right. Remote
+  (string) contexts are NOT fetched — a 100 TB ingest must not do network
+  I/O per document; they surface in the error scan.
+- Node objects: ``@id`` (absolute / relative-to-@base / ``_:label``),
+  ``@type`` (one or many), nested node objects (anonymous -> synthesized
+  bnodes), arrays of values, ``{"@value", "@type", "@language"}``
+  literals, ``{"@list": [...]}`` collections (emitted as rdf:first/rest/
+  nil spines — same shape as the Turtle/RDF-XML readers), ``@graph``
+  wrappers, top-level arrays.
+- JSON scalars map per JSON-LD: string -> plain literal ('xsd:string'
+  sentinel, read_ntriples parity), true/false -> xsd:boolean, integral
+  number -> xsd:integer, fractional -> xsd:double. Lexical forms keep
+  Python's canonical rendering (documented simplification vs JSON-LD's
+  exponent-form canonical doubles).
+
+Blank-node labels are document-scoped: explicit ``_:label`` terms are
+remapped into the per-file namespace and anonymous nodes get counter
+labels inside it — identical policy to the Turtle document reader.
+
+Two modes, mirroring the Turtle split:
+- :func:`read_jsonld` — one whole file per task (``wholetext``): a
+  ``.jsonld`` file is one JSON value, not line-splittable.
+- :func:`read_jsonld_lines` — NDJSON (one node object per line), the
+  line-splittable scale path; an optional static ``context`` dict applies
+  to every line (crawler output typically shares one context).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rdf import RDF_NS, XSD_NS, _bnode_seed, _PLAIN, _resolve_against, _SCHEME_RE
+from .rdf import _TRIPLE_COLS, _TRIPLE_SCHEMA
+
+_KEYWORDS = {"@id", "@type", "@context", "@graph", "@value", "@language",
+             "@list", "@base", "@vocab", "@container"}
+
+
+class _JsonLdParser:
+    def __init__(self, bnode_ns: str = "b"):
+        self.bnode_ns = bnode_ns
+        self.n_bnodes = 0
+        self.rows: list[tuple] = []
+        self.errors: list[str] = []
+
+    # ---- context
+    def _merge_context(self, ctx: dict, raw) -> dict:
+        out = dict(ctx)
+        parts = raw if isinstance(raw, list) else [raw]
+        for part in parts:
+            if isinstance(part, str):
+                self.errors.append(
+                    f"remote @context not fetched (no network I/O on ingest): {part!r}"
+                )
+                continue
+            if isinstance(part, dict):
+                out.update(part)
+        return out
+
+    def _expand(self, term: str, ctx: dict, use_vocab: bool) -> str | None:
+        """Term/IRI expansion. Returns None for terms that do not expand
+        (JSON-LD drops them); keywords are handled by the caller."""
+        if term.startswith("@"):
+            return None
+        d = ctx.get(term)
+        if isinstance(d, str):
+            return d
+        if isinstance(d, dict) and "@id" in d:
+            return self._expand(d["@id"], ctx, use_vocab)
+        pfx, sep, local = term.partition(":")
+        if sep:
+            if term.startswith("_:"):
+                return f"_:{self.bnode_ns}_{term[2:]}"  # document-scoped label
+            p = ctx.get(pfx)
+            if isinstance(p, str):
+                return p + local
+            if isinstance(p, dict) and isinstance(p.get("@id"), str):
+                return p["@id"] + local
+            if _SCHEME_RE.match(term):
+                return term  # absolute IRI
+        base = ctx.get("@base")
+        if not use_vocab:
+            return _resolve_against(base, term) if base else term
+        vocab = ctx.get("@vocab")
+        if isinstance(vocab, str):
+            return vocab + term
+        self.errors.append(f"term {term!r} has no definition and no @vocab; dropped")
+        return None
+
+    def _new_bnode(self) -> str:
+        self.n_bnodes += 1
+        return f"_:{self.bnode_ns}a{self.n_bnodes}"
+
+    # ---- nodes
+    def _subject(self, obj: dict, ctx: dict) -> str:
+        nid = obj.get("@id")
+        if isinstance(nid, str):
+            expanded = self._expand(nid, ctx, use_vocab=False)
+            if expanded is not None:
+                return expanded
+        return self._new_bnode()
+
+    def node(self, obj, ctx: dict) -> str | None:
+        """Parse one node object -> subject id (emitting its triples)."""
+        if not isinstance(obj, dict):
+            self.errors.append(f"expected node object, got {type(obj).__name__}")
+            return None
+        if "@context" in obj:
+            ctx = self._merge_context(ctx, obj["@context"])
+        if "@graph" in obj:
+            for n in _as_list(obj["@graph"]):
+                self.node(n, ctx)
+            # a node with both @graph and properties is out of subset
+            keys = set(obj) - {"@context", "@graph", "@id"}
+            if keys:
+                self.errors.append(f"@graph node with extra keys {sorted(keys)}; keys dropped")
+            return None
+        subj = self._subject(obj, ctx)
+        for t in _as_list(obj.get("@type", [])):
+            if isinstance(t, str):
+                iri = self._expand(t, ctx, use_vocab=True)
+                if iri:
+                    self.emit(subj, RDF_NS + "type", iri)
+        for key, raw in obj.items():
+            if key in _KEYWORDS:
+                continue
+            pred = self._expand(key, ctx, use_vocab=True)
+            if pred is None:
+                continue
+            tdef = ctx.get(key)
+            coerce = tdef.get("@type") if isinstance(tdef, dict) else None
+            for v in _as_list(raw):
+                self._value(subj, pred, v, ctx, coerce)
+        return subj
+
+    def _literal(self, subj, pred, v, ctx, coerce):
+        if isinstance(v, bool):
+            self.emit(subj, pred, "true" if v else "false", XSD_NS + "boolean")
+        elif isinstance(v, int):
+            self.emit(subj, pred, str(v), XSD_NS + "integer")
+        elif isinstance(v, float):
+            self.emit(subj, pred, repr(v), XSD_NS + "double")
+        elif isinstance(v, str):
+            if coerce == "@id":
+                obj_iri = self._expand(v, ctx, use_vocab=False)
+                if obj_iri is not None:
+                    self.emit(subj, pred, obj_iri)
+            elif isinstance(coerce, str):
+                dt = self._expand(coerce, ctx, use_vocab=True) or coerce
+                self.emit(subj, pred, v, dt)
+            else:
+                self.emit(subj, pred, v, _PLAIN)
+        else:
+            self.errors.append(f"unsupported literal {v!r}")
+
+    def _value(self, subj: str, pred: str, v, ctx: dict, coerce=None):
+        if isinstance(v, dict):
+            if "@list" in v:
+                items = _as_list(v["@list"])
+                if not items:
+                    self.emit(subj, pred, RDF_NS + "nil")
+                    return
+                spine = [self._new_bnode() for _ in items]
+                self.emit(subj, pred, spine[0])
+                for i, item in enumerate(items):
+                    self._value(spine[i], RDF_NS + "first", item, ctx, coerce)
+                    nxt = spine[i + 1] if i + 1 < len(items) else RDF_NS + "nil"
+                    self.emit(spine[i], RDF_NS + "rest", nxt)
+                return
+            if "@value" in v:
+                val = v["@value"]
+                lang = v.get("@language")
+                dt = v.get("@type")
+                if dt is not None:
+                    dt = self._expand(dt, ctx, use_vocab=True) or dt
+                    self.emit(subj, pred, _lex(val), dt)
+                elif lang is not None:
+                    self.emit(subj, pred, _lex(val), _PLAIN, lang)
+                else:
+                    self._literal(subj, pred, val, ctx, None)
+                return
+            if set(v) == {"@id"} or ("@id" in v and len(v) == 1):
+                obj_iri = self._expand(v["@id"], ctx, use_vocab=False)
+                if obj_iri is not None:
+                    self.emit(subj, pred, obj_iri)
+                return
+            child = self.node(v, ctx)  # embedded node object
+            if child is not None:
+                self.emit(subj, pred, child)
+            return
+        self._literal(subj, pred, v, ctx, coerce)
+
+    def emit(self, s, p, o, dt=None, lang=None):
+        self.rows.append((s, p, o, dt, lang))
+
+    def document(self, text: str):
+        try:
+            doc = json.loads(text)
+        except ValueError as e:
+            self.errors.append(f"invalid JSON: {e}")
+            return self
+        for obj in _as_list(doc):
+            self.node(obj, {})
+        return self
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def _lex(val) -> str:
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, float):
+        return repr(val)
+    return str(val)
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-LD file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang); one
+    whole file per task, per-file bnode namespace — the Turtle document
+    reader's shape. Errors surface via :func:`scan_jsonld_errors`."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for file, text in zip(pdf["file"], pdf["value"]):
+                p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                p.document(text)
+                rows.extend(p.rows)
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    return files.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
+
+
+def read_jsonld_lines(
+    spark: SparkSession, path: str, context: dict | None = None
+) -> DataFrame:
+    """NDJSON-LD: one self-contained node object per line — the
+    line-SPLITTABLE scale path (crawler/annotation output). The optional
+    static ``context`` applies to every line (shared-context corpora);
+    per-line ``@context`` keys still override. Bnode labels are
+    per-(file, line) namespaced: anonymous nodes on different lines can
+    never collide, matching the one-node-per-line contract."""
+    import pandas as pd
+
+    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    base_ctx = dict(context or {})
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for file, line in zip(pdf["file"], pdf["value"]):
+                if not line or not line.strip():
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue  # surfaced by scan_jsonld_errors
+                p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                p.node(obj, dict(base_ctx))
+                rows.extend(p.rows)
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    return lines.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
+
+
+def scan_jsonld_errors(spark: SparkSession, path: str) -> DataFrame:
+    """What the JSON-LD reader dropped — report, don't crash the ingest."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad: list[tuple[str, str]] = []
+            for file, text in zip(pdf["file"], pdf["value"]):
+                p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                p.document(text)
+                bad.extend((str(file), msg) for msg in p.errors)
+            yield pd.DataFrame(bad, columns=["value", "error"])
+
+    return files.mapInPandas(check, schema="value string, error string")

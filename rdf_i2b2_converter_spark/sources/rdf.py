@@ -1264,8 +1264,9 @@ def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
 
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """guess_format front door (src/utils.py:48-75 analog): dispatch on
-    explicit ``fmt`` ('ntriples'|'turtle'|'turtle-lines'|'rdfxml'|
-    'parquet') or file extension (.nt/.ttl/.rdf/.owl/.xml), defaulting to
+    explicit ``fmt`` ('ntriples'|'turtle'|'turtle-lines'|'rdfxml'|'jsonld'|
+    'jsonld-lines'|'parquet') or file extension
+    (.nt/.ttl/.rdf/.owl/.xml/.jsonld), defaulting to
     a parquet triples table. 'turtle-lines' selects the line-splittable
     statement-per-line subset (the huge-single-file scale path).
 
@@ -1278,6 +1279,7 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         "ntriples" if path.endswith(".nt")
         else "turtle" if path.endswith(".ttl")
         else "rdfxml" if path.endswith((".rdf", ".owl", ".xml"))
+        else "jsonld" if path.endswith(".jsonld")
         else "parquet"
     )
     if fmt == "ntriples":
@@ -1301,6 +1303,14 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return read_turtle(spark, path, multiline=False)
     if fmt == "rdfxml":
         return read_rdfxml(spark, path)
+    if fmt == "jsonld":
+        from .jsonld import read_jsonld
+
+        return read_jsonld(spark, path)
+    if fmt == "jsonld-lines":
+        from .jsonld import read_jsonld_lines
+
+        return read_jsonld_lines(spark, path)
     return spark.read.parquet(path)
 
 

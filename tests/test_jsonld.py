@@ -1,0 +1,96 @@
+"""JSON-LD source (third guess_format front door, src/utils.py:58-63)."""
+
+from rdf_i2b2_converter_spark.sources.jsonld import (
+    read_jsonld,
+    read_jsonld_lines,
+    scan_jsonld_errors,
+)
+from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+DOC = """{
+  "@context": [
+    {"ex": "http://ex.org/",
+     "name": "http://ex.org/name",
+     "knows": {"@id": "http://ex.org/knows", "@type": "@id"},
+     "born": {"@id": "http://ex.org/born", "@type": "http://www.w3.org/2001/XMLSchema#date"},
+     "@vocab": "http://voc.org/",
+     "@base": "http://base.org/"}
+  ],
+  "@graph": [
+    {"@id": "ex:a", "@type": "ex:Person",
+     "name": "Ada",
+     "label": {"@value": "bonjour", "@language": "fr"},
+     "score": 7.5,
+     "count": 42,
+     "flag": true,
+     "born": "1815-12-10",
+     "knows": "rel-b",
+     "friend": {"@id": "ex:c"},
+     "pet": {"@type": "ex:Cat", "name": "Mog"},
+     "nums": {"@list": [1, 2]}},
+    {"@id": "_:x", "name": "anon"}
+  ]
+}
+"""
+
+
+def test_read_jsonld_document(spark, tmp_path):
+    f = tmp_path / "g.jsonld"
+    f.write_text(DOC)
+    df = read_jsonld(spark, str(f))
+    rows = {(r["s"], r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in df.collect()}
+    EX, V = "http://ex.org/", "http://voc.org/"
+    assert (f"{EX}a", f"{RDF_NS}type", f"{EX}Person", None, None) in rows
+    assert (f"{EX}a", f"{EX}name", "Ada", "xsd:string", None) in rows
+    assert (f"{EX}a", f"{V}label", "bonjour", "xsd:string", "fr") in rows
+    assert (f"{EX}a", f"{V}score", "7.5", f"{XSD}double", None) in rows
+    assert (f"{EX}a", f"{V}count", "42", f"{XSD}integer", None) in rows
+    assert (f"{EX}a", f"{V}flag", "true", f"{XSD}boolean", None) in rows
+    # @type coercion from the term definition
+    assert (f"{EX}a", f"{EX}born", "1815-12-10", f"{XSD}date", None) in rows
+    # "@type": "@id" coercion: string value resolved against @base
+    assert (f"{EX}a", f"{EX}knows", "http://base.org/rel-b", None, None) in rows
+    assert (f"{EX}a", f"{V}friend", f"{EX}c", None, None) in rows
+    # embedded anonymous node
+    pet = next(o for (s, p, o, dt, lg) in rows if p == f"{V}pet")
+    assert pet.startswith("_:")
+    assert (pet, f"{RDF_NS}type", f"{EX}Cat", None, None) in rows
+    assert (pet, f"{EX}name", "Mog", "xsd:string", None) in rows
+    # @list spine
+    head = next(o for (s, p, o, dt, lg) in rows if p == f"{V}nums")
+    firsts = {(o, dt) for (s, p, o, dt, lg) in rows if p == f"{RDF_NS}first"}
+    assert head.startswith("_:")
+    assert firsts == {("1", f"{XSD}integer"), ("2", f"{XSD}integer")}
+    # explicit _:x label remapped into the per-file namespace
+    anon = next(s for (s, p, o, dt, lg) in rows if o == "anon")
+    assert anon.startswith("_:g") and anon.endswith("_x")
+    assert scan_jsonld_errors(spark, str(f)).count() == 0
+    # read_rdf dispatch by extension
+    assert read_rdf(spark, str(f)).count() == df.count()
+
+
+def test_read_jsonld_lines_with_shared_context(spark, tmp_path):
+    f = tmp_path / "g.ndjson"
+    f.write_text(
+        '{"@id": "ex:1", "name": "one"}\n'
+        "not json at all\n"
+        '{"@id": "ex:2", "name": "two", "@context": {"name": "http://o.org/name"}}\n'
+    )
+    ctx = {"ex": "http://ex.org/", "name": "http://ex.org/name"}
+    rows = {(r["s"], r["p"], r["o"]) for r in read_jsonld_lines(spark, str(f), ctx).collect()}
+    assert rows == {
+        ("http://ex.org/1", "http://ex.org/name", "one"),
+        # per-line context overrides the shared one
+        ("http://ex.org/2", "http://o.org/name", "two"),
+    }
+
+
+def test_jsonld_errors_surface(spark, tmp_path):
+    f = tmp_path / "bad.jsonld"
+    f.write_text('{"@context": "https://remote.example/ctx", "@id": "http://e/a", "undefinedterm": 1}')
+    errs = {r["error"] for r in scan_jsonld_errors(spark, str(f)).collect()}
+    assert any("remote @context" in e for e in errs)
+    assert any("no @vocab" in e for e in errs)
