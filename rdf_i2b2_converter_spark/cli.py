@@ -167,7 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     pd_ = sub.add_parser("data", help="instance triples -> observation facts")
     pd_.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
     pd_.add_argument(
-        "--format", choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines"],
+        "--format",
+        choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines",
+                 "rdfxml", "jsonld", "jsonld-lines"],
         default="auto",
         help="explicit format wins; auto dispatches on the file extension; "
         "turtle-lines = the line-splittable statement-per-line subset "
@@ -180,7 +182,9 @@ def main(argv: list[str] | None = None) -> int:
 
     pe = sub.add_parser("export", help="triples -> N-Triples/Turtle text")
     pe.add_argument("--triples", required=True, help=".nt/.ttl file/dir or parquet dir")
-    pe.add_argument("--format", choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines"], default="auto")
+    pe.add_argument("--format",
+        choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines",
+                 "rdfxml", "jsonld", "jsonld-lines"], default="auto")
     pe.add_argument("--to", choices=["ntriples", "turtle"], default="turtle")
     pe.add_argument("--prefix", action="append", metavar="p=iri",
                     help="prefix table entries for turtle compaction (repeatable)")

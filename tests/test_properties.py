@@ -300,3 +300,189 @@ def test_turtle_writer_roundtrip_property(triples):
     parser.document()
     assert parser.errors == [], (parser.errors, doc)
     assert set(r[:5] for r in parser.rows) == expected, doc
+
+
+@given(
+    stmts=st.lists(
+        st.tuples(
+            st.integers(0, 9999),           # subject index
+            st.one_of(
+                _pname,
+                st.tuples(_littext, st.sampled_from(["", "@en", "^^xsd:double"])),
+                st.integers(-10**6, 10**6),
+                st.lists(st.integers(0, 99), max_size=3).map(tuple),  # ( ) collection
+                st.none(),                  # [ ex:inner ex:x ] bnode object
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    target=st.integers(20, 200),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunked_parse_equals_whole_property(stmts, target):
+    """VERDICT r3 #7 as a property: for ANY document built from mixed
+    statements (collections, [] bnodes, literals) and ANY chunk size, the
+    chunked parse (per-chunk prefix state + offset_base) produces exactly
+    the whole-document parse rows — synthesized bnode labels included."""
+    from rdf_i2b2_converter_spark.sources.rdf import (
+        _chunk_turtle_text,
+        _tokenize,
+        _TurtleParser,
+    )
+
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace('"', '\\"')
+
+    lines = ["@prefix ex: <http://e/> ."]
+    for i, (si, o) in enumerate(stmts):
+        if i == len(stmts) // 2:
+            lines.append("@prefix ex: <http://e2/> .")  # mid-doc re-declaration
+        if o is None:
+            obj = "[ ex:inner ex:x ]"
+        elif isinstance(o, tuple) and len(o) == 2 and isinstance(o[0], str) and o[1] in ("", "@en", "^^xsd:double"):
+            obj = f'"{esc(o[0])}"{o[1]}'
+        elif isinstance(o, tuple):
+            obj = "( " + " ".join(str(m) for m in o) + " )"
+        else:
+            obj = str(o) if isinstance(o, int) else o
+        lines.append(f"ex:s{si} ex:p {obj} .")
+    text = "\n".join(lines) + "\n"
+
+    whole = _TurtleParser(
+        _tokenize(text), mode="expand", bnode_ns="Px", text=text, remap_blanks=True
+    )
+    whole.document()
+    assert whole.errors == [], whole.errors
+
+    rows = []
+    for chunk, off, pfx, base in _chunk_turtle_text(text, target):
+        p = _TurtleParser(
+            _tokenize(chunk), prefixes=pfx, mode="expand", bnode_ns="Px",
+            text=chunk, base=base, offset_base=off, remap_blanks=True,
+        )
+        p.document()
+        assert p.errors == [], (p.errors, chunk)
+        rows.extend(p.rows)
+    k = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+    assert sorted(rows, key=k) == sorted(whole.rows, key=k), text
+
+
+def _strip_ctl(t: str) -> str:
+    return "".join(c for c in t if ord(c) >= 0x20 or c == "\t")
+
+
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(0, 99),
+            st.integers(0, 99),
+            st.one_of(
+                _littext,
+                st.tuples(_littext, st.sampled_from(["en", "fr"])),
+                st.integers(0, 99).map(lambda i: ("res", i)),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_rdfxml_roundtrip_property(triples):
+    # XML 1.0 cannot carry control chars at all — restrict to legal text
+    triples = [
+        (si, pi,
+         (tuple(_strip_ctl(x) if isinstance(x, str) else x for x in o)
+          if isinstance(o, tuple) else _strip_ctl(o)))
+        for si, pi, o in triples
+    ]
+    """Any flat set of (subject-idx, pred-idx, literal/lang-literal/
+    resource) triples serialized as RDF/XML Descriptions (XML-escaped)
+    parses back to exactly the intended rows."""
+    from xml.sax.saxutils import escape
+
+    from rdf_i2b2_converter_spark.sources.rdf import _PLAIN, _RdfXmlParser
+
+    doc = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:ex="http://e/">',
+    ]
+    expected = set()
+    for si, pi, o in triples:
+        s = f"http://e/s{si}"
+        if isinstance(o, tuple) and o[0] == "res":
+            doc.append(
+                f'  <rdf:Description rdf:about="{s}">'
+                f'<ex:p{pi} rdf:resource="http://e/o{o[1]}"/></rdf:Description>'
+            )
+            expected.add((s, f"http://e/p{pi}", f"http://e/o{o[1]}", None, None))
+        elif isinstance(o, tuple):
+            text, lang = o
+            doc.append(
+                f'  <rdf:Description rdf:about="{s}">'
+                f'<ex:p{pi} xml:lang="{lang}">{escape(text)}</ex:p{pi}></rdf:Description>'
+            )
+            expected.add((s, f"http://e/p{pi}", text, _PLAIN, lang))
+        else:
+            doc.append(
+                f'  <rdf:Description rdf:about="{s}">'
+                f"<ex:p{pi}>{escape(o)}</ex:p{pi}></rdf:Description>"
+            )
+            expected.add((s, f"http://e/p{pi}", o, _PLAIN, None))
+    doc.append("</rdf:RDF>")
+    p = _RdfXmlParser(bnode_ns="X").parse("\n".join(doc))
+    assert p.errors == [], p.errors
+    assert set(p.rows) == expected
+
+
+@given(
+    props=st.lists(
+        st.tuples(
+            st.integers(0, 99),
+            st.one_of(
+                _littext,
+                st.booleans(),
+                st.integers(-10**9, 10**9),
+                st.integers(0, 99).map(lambda i: {"@id": f"http://e/o{i}"}),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_jsonld_roundtrip_property(props):
+    """Any node object of literal/boolean/integer/@id values (serialized
+    through json.dumps, i.e. real JSON escaping) parses back to exactly
+    the intended rows."""
+    import json as _json
+
+    from rdf_i2b2_converter_spark.sources.jsonld import _JsonLdParser
+    from rdf_i2b2_converter_spark.sources.rdf import _PLAIN, XSD_NS
+
+    obj = {"@context": {"ex": "http://e/"}, "@id": "ex:s"}
+    expected = set()
+    for pi, v in props:
+        key = f"ex:p{pi}"
+        prev = obj.get(key)
+        vals = (prev if isinstance(prev, list) else [prev]) if key in obj else []
+        vals.append(v)
+        obj[key] = vals if len(vals) > 1 else vals[0]
+    for key, vs in obj.items():
+        if key.startswith("@"):
+            continue
+        pred = "http://e/" + key[3:]
+        for v in vs if isinstance(vs, list) else [vs]:
+            if isinstance(v, bool):
+                expected.add(("http://e/s", pred, "true" if v else "false", XSD_NS + "boolean", None))
+            elif isinstance(v, int):
+                expected.add(("http://e/s", pred, str(v), XSD_NS + "integer", None))
+            elif isinstance(v, dict):
+                expected.add(("http://e/s", pred, v["@id"], None, None))
+            else:
+                expected.add(("http://e/s", pred, v, _PLAIN, None))
+    p = _JsonLdParser(bnode_ns="J")
+    p.document(_json.dumps(obj))
+    assert p.errors == [], p.errors
+    assert set(p.rows) == expected
