@@ -767,3 +767,31 @@ def test_rdfxml_error_failsoft(spark, tmp_path):
     rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
     assert ("http://ex.org/ok", "http://ex.org/p", "fine") in rows
     assert scan_rdfxml_errors(spark, str(f)).count() >= 1
+
+
+def test_read_rdf_autochunk_warns_on_giant_ttl(spark, tmp_path, monkeypatch):
+    """ADVICE r3: document-mode .ttl above the size bound warns and
+    auto-chunks instead of silently one-task-loading the file."""
+    import warnings as w
+
+    import rdf_i2b2_converter_spark.sources.rdf as rdfmod
+
+    f = tmp_path / "big.ttl"
+    f.write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f"ex:s{i} ex:p ex:o{i} .\n" for i in range(200))
+    )
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", 100)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        df = rdfmod.read_rdf(spark, str(f))
+        assert any("Auto-chunking" in str(c.message) for c in caught)
+    assert df.count() == 200
+    # small file: no warning, plain document mode
+    g = tmp_path / "small.ttl"
+    g.write_text("@prefix ex: <http://e/> .\nex:a ex:p ex:b .\n")
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", 10**6)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert rdfmod.read_rdf(spark, str(g)).count() == 1
+        assert not any("Auto-chunking" in str(c.message) for c in caught)
