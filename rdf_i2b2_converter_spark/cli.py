@@ -118,7 +118,8 @@ def cmd_export(args) -> int:
     graph.serialize step of the reference's entry points (main_ontology
     writes the migrated graph out). Reads any read_rdf-supported input,
     writes .nt or compact .ttl (with optional @prefix table)."""
-    from .sources.rdf import read_rdf, write_ntriples, write_turtle
+    from .sources.jsonld import write_jsonld
+    from .sources.rdf import read_rdf, write_ntriples, write_rdfxml, write_turtle
 
     bad = [kv for kv in (args.prefix or []) if "=" not in kv]
     if bad:
@@ -129,6 +130,10 @@ def cmd_export(args) -> int:
     prefixes = dict(kv.split("=", 1) for kv in (args.prefix or []))
     if args.to == "turtle":
         write_turtle(triples, args.out, prefixes=prefixes or None)
+    elif args.to == "rdfxml":
+        write_rdfxml(triples, args.out)
+    elif args.to == "jsonld":
+        write_jsonld(triples, args.out)
     else:
         write_ntriples(
             triples.withColumnsRenamed(
@@ -185,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--format",
         choices=["auto", "parquet", "ntriples", "turtle", "turtle-lines",
                  "rdfxml", "jsonld", "jsonld-lines"], default="auto")
-    pe.add_argument("--to", choices=["ntriples", "turtle"], default="turtle")
+    pe.add_argument("--to", choices=["ntriples", "turtle", "rdfxml", "jsonld"], default="turtle")
     pe.add_argument("--prefix", action="append", metavar="p=iri",
                     help="prefix table entries for turtle compaction (repeatable)")
     pe.add_argument("--out", required=True)

@@ -282,6 +282,59 @@ def read_jsonld_lines(
     return lines.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
 
 
+def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TRIPLES -> NDJSON-LD text files: one self-contained node object per
+    line (exactly what :func:`read_jsonld_lines` consumes — write/read
+    round-trips). Line-splittable on re-read, so unlike the XML/Turtle
+    document sinks this one IS a scale sink.
+
+    Grouping is a JVM ``collect_list`` per subject (map-side combinable,
+    subject-sized groups); JSON rendering is a thin mapInPandas over one
+    row per subject. Resources (o_datatype NULL, the reader convention)
+    become {"@id": ...}; plain literals bare strings; lang/typed literals
+    @value objects; rdf:type goes to "@type"."""
+    import pandas as pd
+
+    from .rdf import RDF_NS as _RDF
+
+    if "subj" in triples.columns:
+        triples = triples.withColumnsRenamed(
+            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
+        )
+    if "o_lang" not in triples.columns:
+        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    grouped = triples.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
+    )
+    plain = {None, _PLAIN, XSD_NS + "string"}
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines: list[str] = []
+            for s, po in zip(pdf["s"], pdf["po"]):
+                node: dict = {"@id": s}
+                for row in po:
+                    p, o, dt, lang = row["p"], row["o"], row["o_datatype"], row["o_lang"]
+                    if p in (_RDF + "type", "rdf:type", "a"):
+                        node.setdefault("@type", []).append(o)
+                        continue
+                    if dt is None:
+                        v = {"@id": o}
+                    elif dt in plain:
+                        v = {"@value": o, "@language": lang} if lang else o
+                    else:
+                        v = {"@value": o, "@type": dt}
+                    if p in node:
+                        prev = node[p]
+                        node[p] = prev + [v] if isinstance(prev, list) else [prev, v]
+                    else:
+                        node[p] = v
+                lines.append(json.dumps(node, sort_keys=True, ensure_ascii=False))
+            yield pd.DataFrame({"value": lines})
+
+    grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+
+
 def scan_jsonld_errors(spark: SparkSession, path: str) -> DataFrame:
     """What the JSON-LD reader dropped — report, don't crash the ingest."""
     import pandas as pd

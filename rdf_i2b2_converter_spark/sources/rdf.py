@@ -1460,6 +1460,103 @@ def write_turtle(
     lines.mapInPandas(add_header, schema="value string").write.mode(mode).text(path)
 
 
+_NCNAME_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
+
+
+def _split_pred_iri(iri: str) -> tuple[str, str]:
+    """Predicate IRI -> (namespace, NCName local) at the last '#' or '/'.
+    RDF/XML property ELEMENT names must be QNames — an IRI whose tail is
+    not a valid NCName cannot be serialized as RDF/XML at all."""
+    cut = max(iri.rfind("#"), iri.rfind("/"))
+    ns, local = iri[: cut + 1], iri[cut + 1 :]
+    if not ns or not _NCNAME_RE.match(local or ""):
+        raise ValueError(
+            f"predicate {iri!r} cannot be split into (namespace, NCName local) "
+            "for RDF/XML serialization; use write_ntriples/write_turtle"
+        )
+    return ns, local
+
+
+def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TRIPLES -> RDF/XML text files: one self-contained ``<rdf:RDF>``
+    document per part-file, one ``rdf:Description`` per subject.
+
+    The predicate-namespace table is collected driver-side (predicates are
+    schema-sized — the same small-side reasoning as the Turtle prefix
+    header) and becomes the root ``xmlns`` declarations; invalid NCName
+    locals fail fast with a pointer to the scale sinks. Grouping is a
+    JVM ``collect_list`` per subject (map-side combinable, subject-sized
+    groups); rendering + escaping is a thin mapInPandas over one row per
+    subject. N-Triples/parquet remain the 100 TB sinks — RDF/XML is the
+    interchange format the reference's rdflib front door expects."""
+    import pandas as pd
+    from xml.sax.saxutils import escape, quoteattr
+
+    if "subj" in triples.columns:
+        triples = triples.withColumnsRenamed(
+            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
+        )
+    if "o_lang" not in triples.columns:
+        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    preds = [r["p"] for r in triples.select("p").distinct().collect()]
+    ns_map: dict[str, str] = {}
+    for iri in sorted(preds):
+        full = RDF_NS + "type" if iri in ("rdf:type", "a") else iri
+        ns, _local = _split_pred_iri(full)
+        if ns != RDF_NS:
+            ns_map.setdefault(ns, f"ns{len(ns_map) + 1}")
+
+    grouped = triples.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
+    )
+    xmlns = "".join(
+        f'\n         xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_map.items(), key=lambda kv: kv[1])
+    )
+    header = f'<?xml version="1.0"?>\n<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}{xmlns}>'
+    plain = {None, _PLAIN, XSD_NS + "string"}
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emitted_header = False
+        for pdf in batches:
+            out: list[str] = []
+            if not emitted_header and len(pdf):
+                out.append(header)
+                emitted_header = True
+            for s, po in zip(pdf["s"], pdf["po"]):
+                sub = (
+                    f"rdf:nodeID={quoteattr(s[2:])}" if s.startswith("_:")
+                    else f"rdf:about={quoteattr(s)}"
+                )
+                lines = [f"  <rdf:Description {sub}>"]
+                for row in po:
+                    p, o, dt, lang = row["p"], row["o"], row["o_datatype"], row["o_lang"]
+                    full = RDF_NS + "type" if p in ("rdf:type", "a") else p
+                    ns, local = _split_pred_iri(full)
+                    tag = f"rdf:{local}" if ns == RDF_NS else f"{ns_map[ns]}:{local}"
+                    if dt is None:  # resource object (reader convention)
+                        ref = (
+                            f"rdf:nodeID={quoteattr(o[2:])}" if o.startswith("_:")
+                            else f"rdf:resource={quoteattr(o)}"
+                        )
+                        lines.append(f"    <{tag} {ref}/>")
+                    elif dt in plain:
+                        la = f" xml:lang={quoteattr(lang)}" if lang else ""
+                        lines.append(f"    <{tag}{la}>{escape(o)}</{tag}>")
+                    else:
+                        lines.append(
+                            f"    <{tag} rdf:datatype={quoteattr(dt)}>{escape(o)}</{tag}>"
+                        )
+                lines.append("  </rdf:Description>")
+                out.append("\n".join(lines))
+            yield pd.DataFrame({"value": out})
+        # every part-file must close its document; an empty partition
+        # yields a bare (valid) empty rdf:RDF element
+        yield pd.DataFrame({"value": [header] if not emitted_header else []})
+        yield pd.DataFrame({"value": ["</rdf:RDF>"]})
+
+    grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+
+
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """TRIPLES -> N-Triples text files (the rdflib serialization analog).
     Uses operators/emit.triples_to_ntriples for escaping."""

@@ -94,3 +94,59 @@ def test_jsonld_errors_surface(spark, tmp_path):
     errs = {r["error"] for r in scan_jsonld_errors(spark, str(f)).collect()}
     assert any("remote @context" in e for e in errs)
     assert any("no @vocab" in e for e in errs)
+
+
+def test_write_jsonld_roundtrip(spark, tmp_path):
+    """write_jsonld -> read_jsonld_lines round-trips resources, typed/lang/
+    plain literals, rdf:type -> @type, and bnode links (modulo per-file
+    label remap)."""
+    from rdf_i2b2_converter_spark.sources.jsonld import write_jsonld
+
+    EX = "http://e/"
+    rows = [
+        (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}T", None, None),
+        (f"{EX}a", f"{EX}knows", f"{EX}b", None, None),
+        (f"{EX}a", f"{EX}knows", "_:u1", None, None),
+        (f"{EX}a", f"{EX}name", "Ada", "xsd:string", None),
+        (f"{EX}a", f"{EX}label", "bonjour", "xsd:string", "fr"),
+        (f"{EX}a", f"{EX}age", "36", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("_:u1", f"{EX}code", "mg", "xsd:string", None),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, o_datatype string, o_lang string")
+    out = str(tmp_path / "jsonld_out")
+    write_jsonld(df, out)
+    back = read_jsonld_lines(spark, out)
+    got = {tuple(r) for r in back.collect()}
+
+    def norm(rs):
+        m = {}
+        def f(v):
+            if isinstance(v, str) and v.startswith("_:"):
+                return m.setdefault(v, f"_:B{len(m)}")
+            return v
+        key = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+        return {tuple(f(v) for v in r) for r in sorted(rs, key=key)}
+
+    assert norm(got) == norm(rows)
+
+
+def test_write_jsonld_is_valid_ndjson(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from rdf_i2b2_converter_spark.sources.jsonld import write_jsonld
+
+    df = spark.createDataFrame(
+        [("http://e/s", "http://e/p", "v", "xsd:string", None)],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    out = str(tmp_path / "nd_out")
+    write_jsonld(df, out)
+    lines = [
+        ln
+        for f in glob.glob(f"{out}/part-*")
+        for ln in open(f).read().splitlines()
+        if ln.strip()
+    ]
+    assert len(lines) == 1
+    assert _json.loads(lines[0]) == {"@id": "http://e/s", "http://e/p": "v"}

@@ -795,3 +795,47 @@ def test_read_rdf_autochunk_warns_on_giant_ttl(spark, tmp_path, monkeypatch):
         w.simplefilter("always")
         assert rdfmod.read_rdf(spark, str(g)).count() == 1
         assert not any("Auto-chunking" in str(c.message) for c in caught)
+
+
+def test_write_rdfxml_roundtrip(spark, tmp_path):
+    """write_rdfxml -> read_rdfxml round-trips resources, typed/lang/plain
+    literals and bnodes (labels via rdf:nodeID, remapped on re-read); each
+    part-file is a self-contained rdf:RDF document."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, write_rdfxml
+
+    EX = "http://e/"
+    rows = [
+        (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", f"{EX}T", None, None),
+        (f"{EX}a", f"{EX}knows", f"{EX}b", None, None),
+        (f"{EX}a", f"{EX}knows", "_:u1", None, None),
+        (f"{EX}a", f"{EX}name", 'Ada <"&> escaped', "xsd:string", None),
+        (f"{EX}a", f"{EX}label", "bonjour", "xsd:string", "fr"),
+        (f"{EX}a", f"{EX}age", "36", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("_:u1", f"{EX}code", "mg", "xsd:string", None),
+        (f"{EX}b", "https://other.org/ont#rel", f"{EX}a", None, None),  # 2nd namespace
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, o_datatype string, o_lang string")
+    out = str(tmp_path / "rdfxml_out")
+    write_rdfxml(df, out)
+    back = {tuple(r) for r in read_rdfxml(spark, out).collect()}
+    assert _norm_bnodes(back) == _norm_bnodes(rows)
+    # each part-file is standalone valid XML
+    import glob
+    import xml.parsers.expat as expat
+
+    for f in glob.glob(f"{out}/part-*"):
+        p = expat.ParserCreate()
+        p.Parse(open(f, "rb").read(), True)  # raises on malformed
+
+
+def test_write_rdfxml_rejects_non_ncname_predicate(spark, tmp_path):
+    import pytest
+
+    from rdf_i2b2_converter_spark.sources.rdf import write_rdfxml
+
+    df = spark.createDataFrame(
+        [("http://e/s", "http://e/p?x=1", "http://e/o", None, None)],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    with pytest.raises(ValueError, match="NCName"):
+        write_rdfxml(df, str(tmp_path / "never"))
