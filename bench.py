@@ -118,10 +118,31 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs_per_sec = round(n_docs / median_timings["kg_type_triples"], 1)
 
-    # single-thread reference proxy in the SAME invocation/window, so the
-    # engine/proxy ratio is computed under identical co-tenant weather
+    # engine/proxy ratio, LIKE-FOR-LIKE: both sides run the same synthetic
+    # KG pipeline (html -> extract -> mention-detect -> mint) in the SAME
+    # invocation/window, so the ratio is robust to co-tenant weather. The
+    # sf-dir docs_per_sec above is a DIFFERENT quantity (tiny parquet
+    # corpus, fixed job overhead dominates) — do not divide it by the
+    # proxy.
+    from rdf_i2b2_converter_spark.plans.pipeline import build_triples as _bt
+    from rdf_i2b2_converter_spark.sources import synthetic as _syn
+
+    # 1M docs: measured side-by-side, 200k@64parts runs at ~23k docs/s vs
+    # 1M@64parts at ~39k on idle silicon — small corpora pay ~2x per-task
+    # overhead, and the ratio should measure the engine, not task startup
+    n_pipe = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "1000000"))
+    pipe_walls = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        _bt(
+            _syn.gen_pages(spark, n_pipe, num_partitions=2 * cpus),
+            _syn.gen_gazetteer(spark),
+            None,
+        ).count()
+        pipe_walls.append(time.time() - t0)
+    pipeline_dps = round(n_pipe / statistics.median(pipe_walls), 1)
     proxy_dps = round(_run_proxy(PROXY_DOCS), 1)
-    ratio = round(docs_per_sec / proxy_dps, 2) if proxy_dps else None
+    ratio = round(pipeline_dps / proxy_dps, 2) if proxy_dps else None
 
     # headline correctness metric (BASELINE: triple P/R >= 0.95 vs the
     # reference-semantics oracle): engine triples vs the pure-Python oracle
@@ -164,6 +185,7 @@ def main() -> None:
                 "runs": run_totals,
                 "median": total,
                 "docs_per_sec": docs_per_sec,
+                "pipeline_docs_per_sec": pipeline_dps,
                 "proxy_docs_per_sec": proxy_dps,
                 "ratio": ratio,
                 "cpus": cpus,
