@@ -181,9 +181,16 @@ def refine_clusters(linked: DataFrame, group_col: str = "component") -> DataFram
             "surface", F.struct((-F.col("__tot")).alias("n"), F.col("surface").alias("s"))
         ).alias("rep_surface")
     )
-    # left join: a component whose surfaces are all NULL keeps its rows with
-    # rep_surface NULL, exactly like the old per-group pandas path
-    return linked.join(reps, group_col, "left").select(*linked.columns, "rep_surface")
+    # left join, NULL-SAFE on the group key: groupBy treats NULL components
+    # as a real group (as the old pandas path did), so the join-back must
+    # too — a plain equi-join would silently strand NULL-component rows
+    # with rep_surface NULL (review r4). A component whose surfaces are all
+    # NULL still keeps its rows with rep_surface NULL.
+    reps = reps.withColumnRenamed(group_col, "__grp")
+    return (
+        linked.join(reps, F.col(group_col).eqNullSafe(F.col("__grp")), "left")
+        .select(*linked.columns, "rep_surface")
+    )
 
 
 def salt_keys(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:

@@ -152,6 +152,8 @@ def decode_png(content: bytes) -> list[float]:
         pos += 12 + length  # length + type + data + crc
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
+    if len(ihdr) != 13:
+        raise ValueError(f"malformed IHDR chunk ({len(ihdr)} bytes, want 13)")
     width, height, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -161,7 +163,10 @@ def decode_png(content: bytes) -> list[float]:
             f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream must stay ValueError
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated IDAT stream")
@@ -223,7 +228,10 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
             return decode_bmp(content)
         if content[:8] == _PNG_SIG:
             return decode_png(content)
-    except ValueError:
+    # struct.error covers truncated fmt/info chunk bodies in WAV/BMP —
+    # without it a malformed-but-magic-matching asset would escape the
+    # fake=True never-raises ingest contract (review r4)
+    except (ValueError, struct.error):
         if not fake:
             raise
         return _fake_features(content)

@@ -49,8 +49,14 @@ _KEYWORDS = {"@id", "@type", "@context", "@graph", "@value", "@language",
 
 
 class _JsonLdParser:
-    def __init__(self, bnode_ns: str = "b"):
+    def __init__(self, bnode_ns: str = "b", label_ns: str | None = None):
+        #: namespace for SYNTHESIZED anonymous bnodes (per line in NDJSON
+        #: mode — anonymous nodes on different lines must never collide)
         self.bnode_ns = bnode_ns
+        #: namespace for EXPLICIT ``_:label`` remapping (per FILE: labels
+        #: are document-scoped, and in NDJSON mode subject/reference lines
+        #: legitimately share labels across lines — write_jsonld round-trip)
+        self.label_ns = label_ns or bnode_ns
         self.n_bnodes = 0
         self.rows: list[tuple] = []
         self.errors: list[str] = []
@@ -69,20 +75,26 @@ class _JsonLdParser:
                 out.update(part)
         return out
 
-    def _expand(self, term: str, ctx: dict, use_vocab: bool) -> str | None:
+    def _expand(self, term: str, ctx: dict, use_vocab: bool, _depth: int = 0) -> str | None:
         """Term/IRI expansion. Returns None for terms that do not expand
-        (JSON-LD drops them); keywords are handled by the caller."""
+        (JSON-LD drops them); keywords are handled by the caller. String
+        term definitions recurse (``"name": "ex:name"`` is a very common
+        context shape — review r4: returning it verbatim emitted compact
+        predicates); a depth guard breaks definition cycles."""
         if term.startswith("@"):
             return None
+        if _depth > 10:
+            self.errors.append(f"@context definition cycle at {term!r}; dropped")
+            return None
         d = ctx.get(term)
-        if isinstance(d, str):
-            return d
+        if isinstance(d, str) and d != term:
+            return self._expand(d, ctx, use_vocab, _depth + 1)
         if isinstance(d, dict) and "@id" in d:
-            return self._expand(d["@id"], ctx, use_vocab)
+            return self._expand(d["@id"], ctx, use_vocab, _depth + 1)
         pfx, sep, local = term.partition(":")
         if sep:
             if term.startswith("_:"):
-                return f"_:{self.bnode_ns}_{term[2:]}"  # document-scoped label
+                return f"_:{self.label_ns}_{term[2:]}"  # document-scoped label
             p = ctx.get(pfx)
             if isinstance(p, str):
                 return p + local
@@ -191,7 +203,7 @@ class _JsonLdParser:
                 else:
                     self._literal(subj, pred, val, ctx, None)
                 return
-            if set(v) == {"@id"} or ("@id" in v and len(v) == 1):
+            if set(v) == {"@id"}:
                 obj_iri = self._expand(v["@id"], ctx, use_vocab=False)
                 if obj_iri is not None:
                     self.emit(subj, pred, obj_iri)
@@ -256,25 +268,34 @@ def read_jsonld_lines(
     """NDJSON-LD: one self-contained node object per line — the
     line-SPLITTABLE scale path (crawler/annotation output). The optional
     static ``context`` applies to every line (shared-context corpora);
-    per-line ``@context`` keys still override. Bnode labels are
-    per-(file, line) namespaced: anonymous nodes on different lines can
-    never collide, matching the one-node-per-line contract."""
+    per-line ``@context`` keys still override. Bnode scoping (review r4):
+    SYNTHESIZED anonymous labels are per-(file, line) — the line tag is
+    ``monotonically_increasing_id``, unique per row and deterministic for
+    a fixed file layout — so anonymous nodes on different lines can never
+    collide; EXPLICIT ``_:label``s remap per FILE, so a subject line and
+    the lines referencing it keep their link (write_jsonld round-trip)
+    while labels in different files stay distinct."""
     import pandas as pd
 
-    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.monotonically_increasing_id().alias("lid"),
+        "value",
+    )
     base_ctx = dict(context or {})
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for file, line in zip(pdf["file"], pdf["value"]):
+            for file, lid, line in zip(pdf["file"], pdf["lid"], pdf["value"]):
                 if not line or not line.strip():
                     continue
                 try:
                     obj = json.loads(line)
                 except ValueError:
                     continue  # surfaced by scan_jsonld_errors
-                p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                seed = _bnode_seed(file)
+                p = _JsonLdParser(bnode_ns=f"g{seed}L{lid}x", label_ns=f"g{seed}x")
                 p.node(obj, dict(base_ctx))
                 rows.extend(p.rows)
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
@@ -295,18 +316,11 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     @value objects; rdf:type goes to "@type"."""
     import pandas as pd
 
+    from .rdf import PLAIN_DATATYPES as plain
     from .rdf import RDF_NS as _RDF
+    from .rdf import grouped_by_subject
 
-    if "subj" in triples.columns:
-        triples = triples.withColumnsRenamed(
-            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
-        )
-    if "o_lang" not in triples.columns:
-        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
-    grouped = triples.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
-    )
-    plain = {None, _PLAIN, XSD_NS + "string"}
+    grouped = grouped_by_subject(triples)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

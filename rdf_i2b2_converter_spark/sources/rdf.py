@@ -700,9 +700,14 @@ def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) ->
 
 
 def _bnode_seed(file: str) -> str:
+    """Per-file bnode namespace seed: 64 bits of md5 — birthday-safe to
+    ~10^9 files (review r4: the previous 32-bit truncation collided with
+    >50% probability around 65k files, silently merging `_:b0` labels
+    across the colliding pair at exactly the many-file corpus scale the
+    document readers advertise)."""
     import hashlib
 
-    return hashlib.md5(str(file).encode()).hexdigest()[:8]
+    return hashlib.md5(str(file).encode()).hexdigest()[:16]
 
 
 def _resolve_against(base: str | None, raw: str) -> str:
@@ -1112,12 +1117,23 @@ class _RdfXmlParser:
             frame["obj"] = obj
         if RDF_NS + "datatype" in nattrs:
             frame["dt"] = _resolve_against(base, nattrs[RDF_NS + "datatype"])
-        # property attributes on an empty property element describe the object
-        for k, v in nattrs.items():
-            if k in _RDFXML_SYNTAX_ATTRS or k.startswith(_XML_NS) or " " in k:
-                continue
-            if ":" not in k.replace(RDF_NS, ""):
-                continue
+        # property attributes on a property element describe the object; per
+        # spec an EMPTY property element carrying only property attributes
+        # gets an implicit bnode object (review r4: previously the attrs
+        # were dropped and a wrong empty-string literal emitted)
+        prop_attrs = [
+            (k, v)
+            for k, v in nattrs.items()
+            if k not in _RDFXML_SYNTAX_ATTRS
+            and not k.startswith(_XML_NS)
+            and ":" in k.replace(RDF_NS, "")
+        ]
+        if prop_attrs and frame.get("obj") is None and frame["dt"] is None:
+            b = self._bnode(at)
+            self.emit(node["subj"], pred, b)
+            frame["object_emitted"] = True
+            frame["obj"] = b
+        for k, v in prop_attrs:
             if frame.get("obj") is not None:
                 self.emit(frame["obj"], k, v, _PLAIN, lang)
         self.stack.append(frame)
@@ -1462,6 +1478,30 @@ def write_turtle(
 
 _NCNAME_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
 
+#: C0 controls XML 1.0 cannot carry at all (even as character references)
+_XML_ILLEGAL = {c: 0xFFFD for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)}
+
+
+def grouped_by_subject(triples: DataFrame) -> DataFrame:
+    """Shared document-sink preamble: normalize the KG emission schema to
+    TRIPLES_RAW names, backfill o_lang, and aggregate one row per subject
+    with a deterministic sorted (p, o, o_datatype, o_lang) list — a JVM
+    ``collect_list`` (map-side combinable, subject-sized groups). Used by
+    :func:`write_rdfxml` and jsonld.write_jsonld."""
+    if "subj" in triples.columns:
+        triples = triples.withColumnsRenamed(
+            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
+        )
+    if "o_lang" not in triples.columns:
+        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    return triples.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
+    )
+
+
+#: datatypes rendered as PLAIN literals by the document sinks
+PLAIN_DATATYPES = frozenset({None, _PLAIN, XSD_NS + "string"})
+
 
 def _split_pred_iri(iri: str) -> tuple[str, str]:
     """Predicate IRI -> (namespace, NCName local) at the last '#' or '/'.
@@ -1488,7 +1528,14 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     JVM ``collect_list`` per subject (map-side combinable, subject-sized
     groups); rendering + escaping is a thin mapInPandas over one row per
     subject. N-Triples/parquet remain the 100 TB sinks — RDF/XML is the
-    interchange format the reference's rdflib front door expects."""
+    interchange format the reference's rdflib front door expects.
+
+    Format caveats (inherent to XML 1.0, review r4): C0 control
+    characters other than tab/LF/CR cannot be carried at all — they are
+    substituted with U+FFFD so one bad literal cannot invalidate a whole
+    part-file — and '\r\n' in literals re-reads as '\n' (XML line-end
+    normalization). Literals needing byte-exact round-trips belong in the
+    N-Triples/Turtle sinks, which escape control characters."""
     import pandas as pd
     from xml.sax.saxutils import escape, quoteattr
 
@@ -1506,14 +1553,11 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         if ns != RDF_NS:
             ns_map.setdefault(ns, f"ns{len(ns_map) + 1}")
 
-    grouped = triples.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
-    )
+    grouped = grouped_by_subject(triples)
     xmlns = "".join(
         f'\n         xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_map.items(), key=lambda kv: kv[1])
     )
     header = f'<?xml version="1.0"?>\n<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}{xmlns}>'
-    plain = {None, _PLAIN, XSD_NS + "string"}
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         emitted_header = False
@@ -1533,13 +1577,14 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
                     full = RDF_NS + "type" if p in ("rdf:type", "a") else p
                     ns, local = _split_pred_iri(full)
                     tag = f"rdf:{local}" if ns == RDF_NS else f"{ns_map[ns]}:{local}"
+                    o = o.translate(_XML_ILLEGAL)  # XML 1.0 cannot carry C0
                     if dt is None:  # resource object (reader convention)
                         ref = (
                             f"rdf:nodeID={quoteattr(o[2:])}" if o.startswith("_:")
                             else f"rdf:resource={quoteattr(o)}"
                         )
                         lines.append(f"    <{tag} {ref}/>")
-                    elif dt in plain:
+                    elif dt in PLAIN_DATATYPES:
                         la = f" xml:lang={quoteattr(lang)}" if lang else ""
                         lines.append(f"    <{tag}{la}>{escape(o)}</{tag}>")
                     else:

@@ -143,3 +143,18 @@ def test_salted_count_equals_plain_count(spark):
     plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
     salted = {r["k"]: r["n"] for r in salted_count(df, "k", 8).collect()}
     assert plain == salted
+
+
+def test_refine_clusters_null_component_group(spark):
+    """Review r4: NULL components form a real group (pandas-groupBy
+    parity) — the null-safe join-back must stamp their argmax too."""
+    rows = [
+        (None, "x", 5),
+        (None, "y", 9),
+        ("c1", "a", 1),
+    ]
+    df = spark.createDataFrame(rows, "component string, surface string, n_occurrences int")
+    got = {(r["component"], r["surface"]): r["rep_surface"]
+           for r in refine_clusters(df).collect()}
+    assert got[(None, "x")] == "y" and got[(None, "y")] == "y"
+    assert got[("c1", "a")] == "a"

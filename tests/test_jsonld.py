@@ -150,3 +150,37 @@ def test_write_jsonld_is_valid_ndjson(spark, tmp_path):
     ]
     assert len(lines) == 1
     assert _json.loads(lines[0]) == {"@id": "http://e/s", "http://e/p": "v"}
+
+
+def test_jsonld_lines_anonymous_bnodes_do_not_merge_across_lines(spark, tmp_path):
+    """Review r4: anonymous embedded nodes on different NDJSON lines must
+    get distinct labels; explicit _:labels still link across lines."""
+    f = tmp_path / "nd.jsonld"
+    f.write_text(
+        '{"@id": "http://e/1", "http://e/pet": {"http://e/name": "Mog"}}\n'
+        '{"@id": "http://e/2", "http://e/pet": {"http://e/name": "Rex"}}\n'
+        '{"@id": "http://e/3", "http://e/unit": {"@id": "_:u"}}\n'
+        '{"@id": "_:u", "http://e/code": "mg"}\n'
+    )
+    rows = {(r["s"], r["p"], r["o"]) for r in read_jsonld_lines(spark, str(f)).collect()}
+    pets = {o for (s, p, o) in rows if p == "http://e/pet"}
+    assert len(pets) == 2  # distinct anonymous nodes
+    names = {(s, o) for (s, p, o) in rows if p == "http://e/name"}
+    assert {n for _, n in names} == {"Mog", "Rex"}
+    # each pet's name hangs off its own node
+    by_node = {s: o for (s, o) in names}
+    assert set(by_node) == pets
+    # explicit label links across lines
+    unit = next(o for (s, p, o) in rows if p == "http://e/unit")
+    assert (unit, "http://e/code", "mg") in rows
+
+
+def test_jsonld_string_term_definition_expands(spark, tmp_path):
+    """Review r4: '"name": "ex:name"' context shapes must expand fully."""
+    f = tmp_path / "td.jsonld"
+    f.write_text(
+        '{"@context": {"ex": "http://e/", "name": "ex:name", "loop": "loop"},'
+        ' "@id": "ex:a", "name": "Ada"}'
+    )
+    rows = {(r["s"], r["p"], r["o"]) for r in read_jsonld(spark, str(f)).collect()}
+    assert rows == {("http://e/a", "http://e/name", "Ada")}

@@ -185,3 +185,31 @@ def test_png_features_stable_in_extract(spark):
     assert a == b
     # asset 3 is a real PNG (i%3==0 image, i%9==3): width 4, height 3
     assert a[3][0] == 4.0 and a[3][1] == 3.0 and a[3][7] == 12.0
+
+
+def test_decode_asset_failsoft_on_corrupt_streams():
+    """Review r4: zlib/struct errors from magic-matching-but-corrupt
+    payloads must not escape the fake=True never-raises contract."""
+    import struct as _s
+    import zlib as _z
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_asset
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    crc = _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    png_bad_idat = (sig + _s.pack(">I", 13) + b"IHDR" + ihdr + _s.pack(">I", crc)
+                    + _s.pack(">I", 4) + b"IDAT" + b"junk" + _s.pack(">I", 0)
+                    + _s.pack(">I", 0) + b"IEND" + _s.pack(">I", 0))
+    png_short_ihdr = (sig + _s.pack(">I", 10) + b"IHDR" + ihdr[:10] + _s.pack(">I", 0)
+                      + _s.pack(">I", 1) + b"IDAT" + b"x" + _s.pack(">I", 0))
+    wav_short_fmt = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+                     + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00"
+                     + b"data" + _s.pack("<I", 0))
+    for blob in (png_bad_idat, png_short_ihdr, wav_short_fmt):
+        feats = decode_asset(blob, "image", fake=True)  # must not raise
+        assert len(feats) == 8
+        import pytest
+
+        with pytest.raises((ValueError, Exception)):
+            decode_asset(blob, "image", fake=False)

@@ -839,3 +839,46 @@ def test_write_rdfxml_rejects_non_ncname_predicate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NCName"):
         write_rdfxml(df, str(tmp_path / "never"))
+
+
+def test_rdfxml_empty_property_with_attributes_gets_bnode(spark, tmp_path):
+    """Review r4: <ex:unit ex:code="mg"/> is a bnode object carrying the
+    property attributes, not an empty-string literal."""
+    f = tmp_path / "pa.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://e/">\n'
+        '  <rdf:Description rdf:about="http://e/s">\n'
+        '    <ex:unit ex:code="mg" ex:system="ucum"/>\n'
+        "  </rdf:Description>\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, scan_rdfxml_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
+    unit = next(o for (s, p, o) in rows if p == "http://e/unit")
+    assert unit.startswith("_:")
+    assert (unit, "http://e/code", "mg") in rows
+    assert (unit, "http://e/system", "ucum") in rows
+    assert not any(o == "" for (_s, _p, o) in rows)
+    assert scan_rdfxml_errors(spark, str(f)).count() == 0
+
+
+def test_write_rdfxml_substitutes_xml_illegal_chars(spark, tmp_path):
+    """Review r4: a C0 control char in one literal must not invalidate the
+    part-file — it substitutes U+FFFD and every other triple survives."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, write_rdfxml
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/bad", "a\x01b", "xsd:string", None),
+            ("http://e/s", "http://e/ok", "fine", "xsd:string", None),
+        ],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    ).coalesce(1)
+    out = str(tmp_path / "ctl_xml")
+    write_rdfxml(df, out)
+    got = {(r["p"], r["o"]) for r in read_rdfxml(spark, out).collect()}
+    assert ("http://e/ok", "fine") in got
+    assert ("http://e/bad", "a�b") in got
