@@ -364,3 +364,168 @@ def pairwise_topk_per_label(
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
     return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
+
+
+# ------------------------------------------------------------------ IVF
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cid int, centroid array<double>")
+
+
+def ivf_train(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF coarse centroids with distributed Lloyd iterations — the
+    inverted-file ANN scale path alongside the LSH index (north_star's
+    'IVF or LSH-bucketed variant').
+
+    Deterministic throughout (engine determinism contract): init is the
+    data-independent pseudo-random hyperplane basis (`_hyperplane`), and
+    every iteration is a pure DataFrame computation:
+
+    1. assign: broadcast crossJoin against the (tiny) centroid table,
+       ``max_by(cid, struct(sim, -cid))`` per vector — the C scored rows
+       per vector collapse MAP-SIDE (partial agg) before any shuffle;
+    2. update: ``posexplode`` vectors to (cid, pos, val) and average —
+       the shuffle carries only n_centroids x dim rows after map-side
+       partial aggregation; new centroids are collected driver-side
+       (n_centroids x dim doubles — config-sized, like a prefix table).
+
+    Empty clusters keep their previous centroid. Returns plain lists so
+    the result broadcasts as literals or a small DataFrame."""
+    spark = df.sparkSession
+    centroids = [_hyperplane(dim, 10_000 + c) for c in range(n_centroids)]
+    v = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    for _ in range(n_iters):
+        cdf = _centroid_df(spark, centroids)
+        assigned = (
+            v.crossJoin(F.broadcast(cdf))
+            .select(
+                "__v",
+                F.struct(
+                    cosine(F.col("__v"), F.col("centroid")).alias("sim"),
+                    (-F.col("cid")).alias("ncid"),
+                ).alias("key"),
+                "cid",
+            )
+            .groupBy("__v")
+            .agg(F.max_by("cid", F.col("key")).alias("cid"))
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cid[c].get(j, 0.0) for j in range(dim)] if c in by_cid else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stamp each vector with its nearest-centroid cluster id (``__cid``)
+    — broadcast crossJoin + map-side-combining ``max_by``, same shape as
+    training. The result is the in-memory inverted file; write it
+    ``partitionBy('__cid')`` for the partition-pruned disk layout
+    (ivf_write_index)."""
+    spark = df.sparkSession
+    cdf = _centroid_df(spark, centroids)
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .select(
+            *df.columns,
+            F.struct(
+                cosine(v, F.col("centroid")).alias("sim"),
+                (-F.col("cid")).alias("ncid"),
+            ).alias("__key"),
+            "cid",
+        )
+        .groupBy(*df.columns)
+        .agg(F.max_by("cid", F.col("__key")).alias("__cid"))
+    )
+
+
+def _probe_cids(centroids: list[list[float]], query_vec: list[float], n_probes: int) -> list[int]:
+    import builtins
+
+    def cos(a, b):
+        d = builtins.sum(x * y for x, y in zip(a, b))
+        na = builtins.sum(x * x for x in a) ** 0.5
+        nb = builtins.sum(y * y for y in b) ** 0.5
+        return d / (na * nb) if na and nb else -2.0
+
+    scored = sorted(
+        ((cos(c, query_vec), -i) for i, c in enumerate(centroids)), reverse=True
+    )
+    return [-ni for _s, ni in scored[:n_probes]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank the query against the (driver-side, tiny) centroid
+    table, scan ONLY the ``n_probes`` nearest clusters, exact-rank the
+    survivors. With a ``partitionBy('__cid')`` parquet layout the isin
+    filter becomes partition pruning — the 10^9-vector read path; probing
+    ALL clusters recovers exact brute-force ranking."""
+    probes = _probe_cids(centroids, query_vec, n_probes)
+    cand = assigned.filter(F.col("__cid").isin(probes)).drop("__cid")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    assigned: DataFrame, path: str, centroids: list[list[float]], dim: int
+) -> None:
+    """Materialize the inverted file: parquet PARTITIONED BY cluster id +
+    a sidecar with the trained centroids (the index is self-describing,
+    mirroring build_ann_index's metadata contract)."""
+    assigned.write.mode("overwrite").partitionBy("__cid").parquet(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump({"dim": dim, "centroids": centroids}, fh)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized inverted file: nearest ``n_probes`` clusters
+    from the sidecar centroids, partition-pruned scan, exact rank."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["dim"] != len(query_vec):
+        raise ValueError(f"query dim {len(query_vec)} != index dim {meta['dim']}")
+    assigned = spark.read.parquet(path)
+    return ivf_topk(assigned, meta["centroids"], query_vec, k, n_probes, id_col, vec_col)

@@ -210,3 +210,68 @@ def test_near_dup_requires_dim_with_blocking(spark, clustered):
     df, _, _ = clustered
     with pytest.raises(ValueError, match="dim is required"):
         cosine_near_dup_pairs(df, n_planes=8)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def test_ivf_recall_on_clustered_and_exact_with_full_probes(spark, clustered):
+    """IVF (train -> assign -> probe): recall >= 0.9 on clustered data at
+    few probes; probing ALL clusters recovers exact brute-force ranking."""
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    df, vecs, centers = clustered
+    dim, query = 16, centers[0].tolist()
+    cents = ivf_train(df, dim, n_centroids=8, n_iters=2)
+    assigned = ivf_assign(df, cents)
+    assert assigned.count() == df.count()
+    exact = [r["vec_id"] for r in brute_force_topk(df, query, 10).collect()]
+    got = [r["vec_id"] for r in ivf_topk(assigned, cents, query, 10, n_probes=2).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.9, recall
+    full = [r["vec_id"] for r in ivf_topk(assigned, cents, query, 10, n_probes=8).collect()]
+    assert full == exact
+
+
+def test_ivf_train_deterministic(spark, clustered):
+    from rdf_i2b2_converter_spark.operators.similarity import ivf_train
+
+    df, _vecs, _centers = clustered
+    a = ivf_train(df, 16, n_centroids=4, n_iters=2)
+    b = ivf_train(df, 16, n_centroids=4, n_iters=2)
+    assert a == b
+
+
+def test_ivf_index_roundtrip_partition_pruned(spark, clustered, tmp_path):
+    """Materialized inverted file: partitioned layout, sidecar centroids,
+    query equals the in-memory probe; the scan plan carries a partition
+    filter on __cid."""
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+        ivf_write_index,
+        query_ivf_index,
+    )
+
+    df, vecs, centers = clustered
+    dim, query = 16, centers[1].tolist()
+    cents = ivf_train(df, dim, n_centroids=4, n_iters=1)
+    assigned = ivf_assign(df, cents)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(assigned, path, cents, dim)
+    mem = [r["vec_id"] for r in ivf_topk(assigned, cents, query, 5, n_probes=2).collect()]
+    idx_df = query_ivf_index(spark, path, query, 5, n_probes=2)
+    idx = [r["vec_id"] for r in idx_df.collect()]
+    assert idx == mem
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "__cid" in plan  # partition filter reached the scan
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        query_ivf_index(spark, path, [0.0] * (dim + 1), 5)
