@@ -163,12 +163,21 @@ def decode_png(content: bytes) -> list[float]:
             f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
+    # dimension sanity BEFORE any allocation (review r4: width=2^32-1 with
+    # height=0 slipped past the truncation check into a ~13 GB bytearray;
+    # also bounds decompression-bomb output below)
+    if not (0 < width and 0 < height) or width * height > (1 << 26):
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
+    stride = width * channels
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # decompressobj with max_length caps a crafted bomb at the size a
+        # genuine image of these dimensions would need
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
     except zlib.error as e:  # corrupt deflate stream must stay ValueError
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) < expected:
         raise ValueError("truncated IDAT stream")
     prev = bytearray(stride)
     tot = [0, 0, 0]
@@ -230,9 +239,13 @@ def decode_asset(content: bytes, modality: str, fake: bool = False) -> list[floa
             return decode_png(content)
     # struct.error covers truncated fmt/info chunk bodies in WAV/BMP —
     # without it a malformed-but-magic-matching asset would escape the
-    # fake=True never-raises ingest contract (review r4)
-    except (ValueError, struct.error):
+    # fake=True never-raises ingest contract; with fake=False it converts
+    # to ValueError so the module's documented error surface stays
+    # (ValueError | NotImplementedError) for every codec (review r4)
+    except (ValueError, struct.error) as e:
         if not fake:
+            if isinstance(e, struct.error):
+                raise ValueError(f"truncated container structure: {e}") from e
             raise
         return _fake_features(content)
     if not fake:

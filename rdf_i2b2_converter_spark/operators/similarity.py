@@ -403,6 +403,11 @@ def ivf_train(
     v = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
     for _ in range(n_iters):
         cdf = _centroid_df(spark, centroids)
+        # groupBy(__v) collapses identical vectors to ONE group; the crossJoin
+        # contributes n_centroids rows per INPUT ROW, so count/n_centroids
+        # recovers the row multiplicity and the update below weights by it —
+        # true Lloyd on duplicate-heavy corpora (review r4: an unweighted
+        # mean drifts centroids away from duplicated boilerplate mass)
         assigned = (
             v.crossJoin(F.broadcast(cdf))
             .select(
@@ -414,12 +419,15 @@ def ivf_train(
                 "cid",
             )
             .groupBy("__v")
-            .agg(F.max_by("cid", F.col("key")).alias("cid"))
+            .agg(
+                F.max_by("cid", F.col("key")).alias("cid"),
+                (F.count("*") / n_centroids).cast("double").alias("__w"),
+            )
         )
         sums = (
-            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            assigned.select("cid", "__w", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg((F.sum(F.col("val") * F.col("__w")) / F.sum("__w")).alias("m"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
@@ -439,26 +447,31 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Stamp each vector with its nearest-centroid cluster id (``__cid``)
-    — broadcast crossJoin + map-side-combining ``max_by``, same shape as
-    training. The result is the in-memory inverted file; write it
+    — broadcast crossJoin + map-side-combining ``max_by`` keyed on
+    ``id_col`` alone (review r4: grouping on every column would collapse
+    duplicate rows out of the index and break on non-groupable column
+    types like maps), then an equi-join back that preserves every input
+    row and column. The result is the in-memory inverted file; write it
     ``partitionBy('__cid')`` for the partition-pruned disk layout
     (ivf_write_index)."""
     spark = df.sparkSession
     cdf = _centroid_df(spark, centroids)
     v = F.col(vec_col).cast("array<double>")
-    return (
-        df.crossJoin(F.broadcast(cdf))
+    assignment = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
         .select(
-            *df.columns,
+            id_col,
             F.struct(
                 cosine(v, F.col("centroid")).alias("sim"),
                 (-F.col("cid")).alias("ncid"),
             ).alias("__key"),
             "cid",
         )
-        .groupBy(*df.columns)
+        .groupBy(id_col)
         .agg(F.max_by("cid", F.col("__key")).alias("__cid"))
     )
+    return df.join(assignment, id_col)
 
 
 def _probe_cids(centroids: list[list[float]], query_vec: list[float], n_probes: int) -> list[int]:

@@ -269,25 +269,27 @@ def read_jsonld_lines(
     line-SPLITTABLE scale path (crawler/annotation output). The optional
     static ``context`` applies to every line (shared-context corpora);
     per-line ``@context`` keys still override. Bnode scoping (review r4):
-    SYNTHESIZED anonymous labels are per-(file, line) — the line tag is
-    ``monotonically_increasing_id``, unique per row and deterministic for
-    a fixed file layout — so anonymous nodes on different lines can never
-    collide; EXPLICIT ``_:label``s remap per FILE, so a subject line and
-    the lines referencing it keep their link (write_jsonld round-trip)
-    while labels in different files stay distinct."""
+    SYNTHESIZED anonymous labels are namespaced per (file, line-CONTENT
+    hash) — partition-layout-independent, so the triple set (and any
+    determinism hash over it) is identical at every parallelism level,
+    unlike a row-id tag would be. Two byte-identical lines in one file
+    share a namespace, which is safe: identical documents synthesize
+    isomorphic, identically-labeled triples (duplicate rows, no
+    cross-structure merge). EXPLICIT ``_:label``s remap per FILE, so a
+    subject line and the lines referencing it keep their link
+    (write_jsonld round-trip) while labels in different files stay
+    distinct."""
+    import hashlib
+
     import pandas as pd
 
-    lines = spark.read.text(path).select(
-        F.input_file_name().alias("file"),
-        F.monotonically_increasing_id().alias("lid"),
-        "value",
-    )
+    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
     base_ctx = dict(context or {})
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for file, lid, line in zip(pdf["file"], pdf["lid"], pdf["value"]):
+            for file, line in zip(pdf["file"], pdf["value"]):
                 if not line or not line.strip():
                     continue
                 try:
@@ -295,7 +297,8 @@ def read_jsonld_lines(
                 except ValueError:
                     continue  # surfaced by scan_jsonld_errors
                 seed = _bnode_seed(file)
-                p = _JsonLdParser(bnode_ns=f"g{seed}L{lid}x", label_ns=f"g{seed}x")
+                lh = hashlib.md5(line.encode("utf-8")).hexdigest()[:16]
+                p = _JsonLdParser(bnode_ns=f"g{seed}h{lh}x", label_ns=f"g{seed}x")
                 p.node(obj, dict(base_ctx))
                 rows.extend(p.rows)
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)

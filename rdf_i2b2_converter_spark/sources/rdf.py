@@ -1117,25 +1117,19 @@ class _RdfXmlParser:
             frame["obj"] = obj
         if RDF_NS + "datatype" in nattrs:
             frame["dt"] = _resolve_against(base, nattrs[RDF_NS + "datatype"])
-        # property attributes on a property element describe the object; per
-        # spec an EMPTY property element carrying only property attributes
-        # gets an implicit bnode object (review r4: previously the attrs
-        # were dropped and a wrong empty-string literal emitted)
-        prop_attrs = [
+        # property attributes are recorded here but handled at END-element:
+        # whether they describe an implicit bnode object depends on the
+        # element being EMPTY, which is unknowable at start (review r4: an
+        # eager bnode emitted a second object triple when a node child or
+        # collection followed)
+        frame["prop_attrs"] = [
             (k, v)
             for k, v in nattrs.items()
             if k not in _RDFXML_SYNTAX_ATTRS
             and not k.startswith(_XML_NS)
             and ":" in k.replace(RDF_NS, "")
         ]
-        if prop_attrs and frame.get("obj") is None and frame["dt"] is None:
-            b = self._bnode(at)
-            self.emit(node["subj"], pred, b)
-            frame["object_emitted"] = True
-            frame["obj"] = b
-        for k, v in prop_attrs:
-            if frame.get("obj") is not None:
-                self.emit(frame["obj"], k, v, _PLAIN, lang)
+        frame["at"] = at
         self.stack.append(frame)
 
     def chars(self, data: str):
@@ -1153,7 +1147,10 @@ class _RdfXmlParser:
         frame = self.stack.pop()
         if frame["kind"] != "prop":
             return
+        attrs = frame.get("prop_attrs") or []
         if frame["collection"] is not None:
+            if attrs:
+                self._err("property attributes on a parseType=Collection property; dropped")
             items = frame["collection"]
             if not items:
                 self.emit(frame["subj"], frame["pred"], RDF_NS + "nil")
@@ -1169,8 +1166,26 @@ class _RdfXmlParser:
             text = "".join(frame["text"])
             if text.strip():
                 self._err("both a resource object and text content in one property")
+            if attrs:
+                if frame.get("obj") is not None:
+                    # rdf:resource/rdf:nodeID shortcut: attrs describe it
+                    for k, v in attrs:
+                        self.emit(frame["obj"], k, v, _PLAIN, frame.get("lang"))
+                else:  # a node-element child supplied the object
+                    self._err("property attributes plus element content; attrs dropped")
             return
         text = "".join(frame["text"])
+        if attrs and frame["dt"] is None and not frame.get("literal_mode"):
+            # EMPTY property element with property attributes: the spec'd
+            # implicit bnode object carrying those attributes
+            if text.strip():
+                self._err("property attributes plus text content; attrs dropped")
+            else:
+                b = self._bnode(frame["at"])
+                self.emit(frame["subj"], frame["pred"], b)
+                for k, v in attrs:
+                    self.emit(b, k, v, _PLAIN, frame.get("lang"))
+                return
         if frame["dt"] is not None:
             self.emit(frame["subj"], frame["pred"], text, frame["dt"], None)
         else:
@@ -1567,6 +1582,11 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
                 out.append(header)
                 emitted_header = True
             for s, po in zip(pdf["s"], pdf["po"]):
+                # every attribute/text slot gets the C0 substitution, not
+                # just the object — a control char in a subject IRI, bnode
+                # label, datatype, or lang tag would invalidate the whole
+                # part-file just the same (review r4)
+                s = s.translate(_XML_ILLEGAL)
                 sub = (
                     f"rdf:nodeID={quoteattr(s[2:])}" if s.startswith("_:")
                     else f"rdf:about={quoteattr(s)}"
@@ -1578,6 +1598,8 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
                     ns, local = _split_pred_iri(full)
                     tag = f"rdf:{local}" if ns == RDF_NS else f"{ns_map[ns]}:{local}"
                     o = o.translate(_XML_ILLEGAL)  # XML 1.0 cannot carry C0
+                    dt = dt.translate(_XML_ILLEGAL) if dt is not None else None
+                    lang = lang.translate(_XML_ILLEGAL) if lang is not None else None
                     if dt is None:  # resource object (reader convention)
                         ref = (
                             f"rdf:nodeID={quoteattr(o[2:])}" if o.startswith("_:")

@@ -184,3 +184,27 @@ def test_jsonld_string_term_definition_expands(spark, tmp_path):
     )
     rows = {(r["s"], r["p"], r["o"]) for r in read_jsonld(spark, str(f)).collect()}
     assert rows == {("http://e/a", "http://e/name", "Ada")}
+
+
+def test_jsonld_lines_labels_partition_independent(spark, tmp_path):
+    """Review r4: anonymous labels derive from line content, not row ids —
+    the same file read at different parallelism yields identical rows."""
+    f = tmp_path / "pi.jsonld"
+    f.write_text(
+        "".join(
+            '{"@id": "http://e/%d", "http://e/pet": {"http://e/name": "n%d"}}\n' % (i, i)
+            for i in range(40)
+        )
+    )
+    one = {tuple(r) for r in read_jsonld_lines(spark, str(f)).collect()}
+    # re-read with a tiny split size so the file fans out across many
+    # partitions — labels must not change
+    import rdf_i2b2_converter_spark.sources.jsonld as jmod
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+        split = {tuple(r) for r in jmod.read_jsonld_lines(spark, str(f)).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert split == one and len(one) == 80

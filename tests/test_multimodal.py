@@ -213,3 +213,51 @@ def test_decode_asset_failsoft_on_corrupt_streams():
 
         with pytest.raises((ValueError, Exception)):
             decode_asset(blob, "image", fake=False)
+
+
+def test_png_dimension_bomb_failsoft():
+    """Review r4: width=2^32-1/height=0 headers and decompression bombs
+    must hit ValueError (fake path), never a giant allocation."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_asset, decode_png
+
+    def png(w, h, idat):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        crc = _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        return (sig + _s.pack(">I", 13) + b"IHDR" + ihdr + _s.pack(">I", crc)
+                + _s.pack(">I", len(idat)) + b"IDAT" + idat + _s.pack(">I", 0)
+                + _s.pack(">I", 0) + b"IEND" + _s.pack(">I", 0))
+
+    for blob in (
+        png(0xFFFFFFFF, 0, _z.compress(b"")),      # zero-height giant width
+        png(0, 5, _z.compress(b"")),               # zero width
+        png(1 << 14, 1 << 14, _z.compress(b"x")),  # 256M pixels > cap
+    ):
+        with pytest.raises(ValueError):
+            decode_png(blob)
+        assert len(decode_asset(blob, "image", fake=True)) == 8
+
+    # bomb: tiny dims, huge decompressed stream — output capped, treated
+    # as a normal parse of the first bytes (no giant allocation)
+    bomb = png(2, 2, _z.compress(b"\x00" * 10_000_000))
+    feats = decode_png(bomb)
+    assert feats[7] == 4.0
+
+
+def test_decode_asset_struct_error_becomes_valueerror():
+    import struct as _s
+
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_asset
+
+    wav_short_fmt = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+                     + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00"
+                     + b"data" + _s.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_asset(wav_short_fmt, "audio", fake=False)

@@ -882,3 +882,62 @@ def test_write_rdfxml_substitutes_xml_illegal_chars(spark, tmp_path):
     got = {(r["p"], r["o"]) for r in read_rdfxml(spark, out).collect()}
     assert ("http://e/ok", "fine") in got
     assert ("http://e/bad", "a�b") in got
+
+
+def test_rdfxml_property_attrs_with_content_single_object(spark, tmp_path):
+    """Review r4: property attrs on a NON-empty property element must not
+    add a second (bnode) object; the conflict surfaces as an error."""
+    f = tmp_path / "pa2.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://e/">\n'
+        '  <rdf:Description rdf:about="http://e/s">\n'
+        '    <ex:p ex:code="mg"><rdf:Description rdf:about="http://e/x"/></ex:p>\n'
+        "  </rdf:Description>\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, scan_rdfxml_errors
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
+    objs = [o for (s, p, o) in rows if p == "http://e/p"]
+    assert objs == ["http://e/x"]  # exactly one object, the child node
+    assert scan_rdfxml_errors(spark, str(f)).count() == 1  # conflict surfaced
+
+
+def test_rdfxml_resource_shortcut_with_attrs_still_described(spark, tmp_path):
+    """rdf:resource + property attrs keeps the attrs-describe-object path."""
+    f = tmp_path / "pa3.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://e/">\n'
+        '  <rdf:Description rdf:about="http://e/s">\n'
+        '    <ex:p rdf:resource="http://e/o" ex:code="mg"/>\n'
+        "  </rdf:Description>\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml
+
+    rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
+    assert ("http://e/s", "http://e/p", "http://e/o") in rows
+    assert ("http://e/o", "http://e/code", "mg") in rows
+
+
+def test_write_rdfxml_illegal_chars_in_subject_and_lang(spark, tmp_path):
+    """Review r4: C0 controls in subject/datatype/lang slots get the same
+    U+FFFD substitution as literal text — part-files stay valid XML."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, write_rdfxml
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/s\x01x", "http://e/p", "v", "xsd:string", "f\x02r"),
+            ("http://e/ok", "http://e/p", "w", "http://e/dt\x03", None),
+        ],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    ).coalesce(1)
+    out = str(tmp_path / "ctl2_xml")
+    write_rdfxml(df, out)
+    back = {tuple(r) for r in read_rdfxml(spark, out).collect()}
+    assert ("http://e/s�x", "http://e/p", "v", "xsd:string", "f�r") in back
+    assert ("http://e/ok", "http://e/p", "w", "http://e/dt�", None) in back

@@ -275,3 +275,30 @@ def test_ivf_index_roundtrip_partition_pruned(spark, clustered, tmp_path):
 
     with pytest.raises(ValueError, match="dim"):
         query_ivf_index(spark, path, [0.0] * (dim + 1), 5)
+
+
+def test_ivf_assign_keeps_duplicates_and_odd_columns(spark, clustered):
+    """Review r4: assignment keys on id_col only — duplicate rows and
+    non-groupable (map) columns must survive."""
+    from rdf_i2b2_converter_spark.operators.similarity import ivf_assign, ivf_train
+
+    df, _vecs, _centers = clustered
+    cents = ivf_train(df, 16, n_centroids=4, n_iters=1)
+    with_map = df.limit(10).withColumn("meta", F.create_map(F.lit("k"), F.lit("v")))
+    dup = with_map.unionByName(with_map.limit(1))  # one exact duplicate row
+    out = ivf_assign(dup, cents)
+    assert out.count() == 11
+    assert "meta" in out.columns and "__cid" in out.columns
+
+
+def test_ivf_train_weights_duplicates(spark):
+    """Review r4: Lloyd must weight by row multiplicity — a vector
+    duplicated m times pulls its centroid m times harder."""
+    from rdf_i2b2_converter_spark.operators.similarity import ivf_train
+
+    base = [([1.0, 0.0],)] * 50 + [([0.8, 0.2],)]  # heavy mass near (1,0)
+    df = spark.createDataFrame(base, "embedding array<double>")
+    cents = ivf_train(df, 2, n_centroids=1, n_iters=1)
+    # weighted mean: (50*[1,0] + [0.8,0.2]) / 51
+    assert abs(cents[0][0] - (50 * 1.0 + 0.8) / 51) < 1e-9
+    assert abs(cents[0][1] - 0.2 / 51) < 1e-9
