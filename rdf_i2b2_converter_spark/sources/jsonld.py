@@ -352,9 +352,36 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
 
 
-def scan_jsonld_errors(spark: SparkSession, path: str) -> DataFrame:
-    """What the JSON-LD reader dropped — report, don't crash the ingest."""
+def scan_jsonld_errors(
+    spark: SparkSession, path: str, lines: bool = False, context: dict | None = None
+) -> DataFrame:
+    """What the JSON-LD reader dropped — report, don't crash the ingest.
+    ``lines=True`` mirrors :func:`read_jsonld_lines` (one row per bad
+    NDJSON line / per-line parse error, with the same shared static
+    ``context``); default mirrors :func:`read_jsonld` (whole files)."""
     import pandas as pd
+
+    if lines:
+        src = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+        base_ctx = dict(context or {})
+
+        def check_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bad: list[tuple[str, str]] = []
+                for file, line in zip(pdf["file"], pdf["value"]):
+                    if not line or not line.strip():
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except ValueError as e:
+                        bad.append((line, f"invalid JSON: {e}"))
+                        continue
+                    p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                    p.node(obj, dict(base_ctx))
+                    bad.extend((line, msg) for msg in p.errors)
+                yield pd.DataFrame(bad, columns=["value", "error"])
+
+        return src.mapInPandas(check_lines, schema="value string, error string")
 
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), "value"

@@ -208,3 +208,15 @@ def test_jsonld_lines_labels_partition_independent(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert split == one and len(one) == 80
+
+
+def test_scan_jsonld_errors_lines_mode(spark, tmp_path):
+    f = tmp_path / "err.ndjson"
+    f.write_text(
+        '{"@id": "http://e/1", "http://e/p": "ok"}\n'
+        "totally not json\n"
+        '{"@id": "http://e/2", "undefined": 1}\n'
+    )
+    errs = {r["error"] for r in scan_jsonld_errors(spark, str(f), lines=True).collect()}
+    assert any("invalid JSON" in e for e in errs)
+    assert any("no @vocab" in e for e in errs)
