@@ -1306,11 +1306,15 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     identical output) and a warning notes the wholetext memory profile —
     existing callers keep full-Turtle semantics instead of silently
     regressing to a one-task whole-file load (ADVICE r3)."""
+    # Spark's text reader decompresses .gz/.bz2/... transparently, so the
+    # compression suffix must not hide the real extension from dispatch
+    # (real dumps ship as corpus.nt.gz / ontology.ttl.bz2)
+    base = re.sub(r"\.(gz|bz2|zst|snappy|lz4|deflate)$", "", path)
     fmt = fmt or (
-        "ntriples" if path.endswith(".nt")
-        else "turtle" if path.endswith(".ttl")
-        else "rdfxml" if path.endswith((".rdf", ".owl", ".xml"))
-        else "jsonld" if path.endswith(".jsonld")
+        "ntriples" if base.endswith(".nt")
+        else "turtle" if base.endswith(".ttl")
+        else "rdfxml" if base.endswith((".rdf", ".owl", ".xml"))
+        else "jsonld" if base.endswith(".jsonld")
         else "parquet"
     )
     if fmt == "ntriples":

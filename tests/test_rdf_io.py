@@ -941,3 +941,24 @@ def test_write_rdfxml_illegal_chars_in_subject_and_lang(spark, tmp_path):
     back = {tuple(r) for r in read_rdfxml(spark, out).collect()}
     assert ("http://e/s�x", "http://e/p", "v", "xsd:string", "f�r") in back
     assert ("http://e/ok", "http://e/p", "w", "http://e/dt�", None) in back
+
+
+def test_read_rdf_gzipped_extension_dispatch(spark, tmp_path):
+    """corpus.nt.gz / g.ttl.gz dispatch on the REAL extension; Spark's
+    text reader decompresses transparently."""
+    import gzip
+
+    nt = tmp_path / "c.nt.gz"
+    with gzip.open(nt, "wt") as fh:
+        fh.write("<http://e/s> <http://e/p> <http://e/o> .\n")
+    ttl = tmp_path / "g.ttl.gz"
+    with gzip.open(ttl, "wt") as fh:
+        fh.write("@prefix ex: <http://e/> .\nex:a ex:p ex:b .\n")
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    assert {tuple(r)[:3] for r in read_rdf(spark, str(nt)).collect()} == {
+        ("http://e/s", "http://e/p", "http://e/o")
+    }
+    assert {tuple(r)[:3] for r in read_rdf(spark, str(ttl)).collect()} == {
+        ("http://e/a", "http://e/p", "http://e/b")
+    }
