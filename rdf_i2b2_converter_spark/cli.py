@@ -79,12 +79,24 @@ def cmd_data(args) -> int:
     spark = _spark(args)
     # guess_format analog (reference src/utils.py:48-75): an explicit
     # --format always wins; 'auto' dispatches on the file extension
+    # (compression suffixes stripped, matching read_rdf)
+    import re as _re
+
+    from .sources.rdf import _max_input_file_bytes, _TTL_DOC_WARN_BYTES
+
     fmt = None if args.format == "auto" else args.format
-    if fmt in ("turtle", "turtle-lines") or (fmt is None and args.triples.endswith(".ttl")):
-        # compact pnames: entry classes in configs use the p:local form
+    base = _re.sub(r"\.(gz|bz2|zst|snappy|lz4|deflate)$", "", args.triples)
+    if fmt in ("turtle", "turtle-lines") or (fmt is None and base.endswith(".ttl")):
+        # compact pnames: entry classes in configs use the p:local form;
+        # giant document-mode files auto-chunk like read_rdf does
+        chunk = None
+        if fmt != "turtle-lines" and _max_input_file_bytes(
+            spark, args.triples
+        ) > _TTL_DOC_WARN_BYTES:
+            chunk = 64 * 1024 * 1024
         triples = read_turtle(
             spark, args.triples, expand_prefixes=False,
-            multiline=(fmt != "turtle-lines"),
+            multiline=(fmt != "turtle-lines"), chunk_bytes=chunk,
         )
     else:
         triples = read_rdf(spark, args.triples, fmt)
