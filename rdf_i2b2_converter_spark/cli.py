@@ -80,20 +80,18 @@ def cmd_data(args) -> int:
     # guess_format analog (reference src/utils.py:48-75): an explicit
     # --format always wins; 'auto' dispatches on the file extension
     # (compression suffixes stripped, matching read_rdf)
-    import re as _re
-
-    from .sources.rdf import _max_input_file_bytes, _TTL_DOC_WARN_BYTES
+    from .sources.rdf import strip_compression_suffix, turtle_doc_chunk_bytes
 
     fmt = None if args.format == "auto" else args.format
-    base = _re.sub(r"\.(gz|bz2|zst|snappy|lz4|deflate)$", "", args.triples)
+    base, _ = strip_compression_suffix(args.triples)
     if fmt in ("turtle", "turtle-lines") or (fmt is None and base.endswith(".ttl")):
         # compact pnames: entry classes in configs use the p:local form;
-        # giant document-mode files auto-chunk like read_rdf does
-        chunk = None
-        if fmt != "turtle-lines" and _max_input_file_bytes(
-            spark, args.triples
-        ) > _TTL_DOC_WARN_BYTES:
-            chunk = 64 * 1024 * 1024
+        # giant document-mode files auto-chunk + warn exactly like read_rdf
+        # (shared policy helper)
+        chunk = (
+            turtle_doc_chunk_bytes(spark, args.triples)
+            if fmt != "turtle-lines" else None
+        )
         triples = read_turtle(
             spark, args.triples, expand_prefixes=False,
             multiline=(fmt != "turtle-lines"), chunk_bytes=chunk,

@@ -1271,26 +1271,92 @@ def scan_rdfxml_errors(spark: SparkSession, path: str) -> DataFrame:
 #: huge single .ttl silently loads into one task's memory in wholetext
 #: mode) and auto-chunked for parse parallelism
 _TTL_DOC_WARN_BYTES = 256 * 1024 * 1024
+#: chunk size the auto path uses
+_TTL_AUTO_CHUNK_BYTES = 64 * 1024 * 1024
+
+_COMPRESSION_SUFFIX_RE = re.compile(r"\.(gz|bz2|zst|snappy|lz4|deflate)$")
+#: conservative decompressed-size multiplier for compressed text inputs —
+#: the chunk guard bounds the DECOMPRESSED wholetext string, not the
+#: on-disk bytes (review r4: a 100 MiB .ttl.bz2 is ~1 GiB of text)
+_COMPRESSION_EXPANSION_GUESS = 8
+
+
+def strip_compression_suffix(path: str) -> tuple[str, bool]:
+    """-> (path without trailing codec suffix, had_suffix). Spark's text
+    reader decompresses these transparently, so format dispatch must see
+    the real extension underneath."""
+    base = _COMPRESSION_SUFFIX_RE.sub("", path)
+    return base, base != path
 
 
 def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
-    """Largest single file under ``path`` via the Hadoop FileSystem API
-    (works for any supported scheme, not just local paths); 0 on any
-    listing failure (the warning is best-effort, never a crash)."""
+    """Largest single file matching ``path`` via the Hadoop FileSystem API
+    (any supported scheme; globs expanded with globStatus, matching what
+    spark.read.text will actually scan — review r4: getFileStatus alone
+    throws on globs and silently disabled the size guard); 0 on any
+    listing failure (the guard is best-effort, never a crash)."""
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(conf)
-        it = fs.listFiles(p, True) if fs.getFileStatus(p).isDirectory() else None
-        if it is None:
-            return int(fs.getFileStatus(p).getLen())
+        statuses = fs.globStatus(p)
+        if statuses is None or len(statuses) == 0:
+            statuses = [fs.getFileStatus(p)]
         biggest = 0
-        while it.hasNext():
-            biggest = max(biggest, int(it.next().getLen()))
+        for st in statuses:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    biggest = max(biggest, int(it.next().getLen()))
+            else:
+                biggest = max(biggest, int(st.getLen()))
         return biggest
     except Exception:
         return 0
+
+
+def turtle_doc_chunk_bytes(spark: SparkSession, path: str) -> int | None:
+    """Shared auto-chunk decision for document-mode Turtle (read_rdf and
+    the data CLI use the same policy and the same warning): estimate the
+    biggest input file's DECOMPRESSED size and, above the wholetext
+    bound, warn and return the chunk size to parse in parallel blocks."""
+    biggest = _max_input_file_bytes(spark, path)
+    _, compressed = strip_compression_suffix(path)
+    est = biggest * (_COMPRESSION_EXPANSION_GUESS if compressed else 1)
+    if est > _TTL_DOC_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"a Turtle input file is ~{est >> 20} MiB decompressed; document "
+            "mode holds each whole file in one splitter task (wholetext). "
+            "Auto-chunking the parse at top-level statement boundaries; for "
+            "statement-per-line dumps prefer fmt='turtle-lines' (fully "
+            "line-splittable, no whole-file materialization).",
+            stacklevel=3,
+        )
+        return _TTL_AUTO_CHUNK_BYTES
+    return None
+
+
+def _respread_if_unsplittable(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Line-oriented reads over gzip/zstd inputs decompress ONE TASK PER
+    FILE (unsplittable codecs) — a giant single .nt.gz would otherwise
+    flow through every narrow downstream stage at parallelism 1 (review
+    r4). Warn and repartition the PARSED rows to the default parallelism;
+    the scan itself stays per-file (inherent to the codec)."""
+    _, compressed = strip_compression_suffix(path)
+    if not compressed:
+        return df
+    import warnings
+
+    warnings.warn(
+        "compressed text input uses an unsplittable codec: the scan runs one "
+        "task per file; parsed rows are repartitioned for downstream "
+        "parallelism. For scale, store uncompressed/splittable or many files.",
+        stacklevel=3,
+    )
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
@@ -1309,7 +1375,7 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     # Spark's text reader decompresses .gz/.bz2/... transparently, so the
     # compression suffix must not hide the real extension from dispatch
     # (real dumps ship as corpus.nt.gz / ontology.ttl.bz2)
-    base = re.sub(r"\.(gz|bz2|zst|snappy|lz4|deflate)$", "", path)
+    base, _compressed = strip_compression_suffix(path)
     fmt = fmt or (
         "ntriples" if base.endswith(".nt")
         else "turtle" if base.endswith(".ttl")
@@ -1318,24 +1384,13 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         else "parquet"
     )
     if fmt == "ntriples":
-        return read_ntriples(spark, path)
+        return _respread_if_unsplittable(spark, path, read_ntriples(spark, path))
     if fmt == "turtle":
-        biggest = _max_input_file_bytes(spark, path)
-        if biggest > _TTL_DOC_WARN_BYTES:
-            import warnings
-
-            warnings.warn(
-                f"read_rdf: a Turtle input file is {biggest >> 20} MiB; document "
-                "mode holds each whole file in one splitter task (wholetext). "
-                "Auto-chunking the parse at top-level statement boundaries; for "
-                "statement-per-line dumps prefer fmt='turtle-lines' (fully "
-                "line-splittable, no whole-file materialization).",
-                stacklevel=2,
-            )
-            return read_turtle(spark, path, chunk_bytes=64 * 1024 * 1024)
-        return read_turtle(spark, path)
+        return read_turtle(spark, path, chunk_bytes=turtle_doc_chunk_bytes(spark, path))
     if fmt == "turtle-lines":
-        return read_turtle(spark, path, multiline=False)
+        return _respread_if_unsplittable(
+            spark, path, read_turtle(spark, path, multiline=False)
+        )
     if fmt == "rdfxml":
         return read_rdfxml(spark, path)
     if fmt == "jsonld":

@@ -962,3 +962,59 @@ def test_read_rdf_gzipped_extension_dispatch(spark, tmp_path):
     assert {tuple(r)[:3] for r in read_rdf(spark, str(ttl)).collect()} == {
         ("http://e/a", "http://e/p", "http://e/b")
     }
+
+
+def test_unsplittable_codec_respreads_parallelism(spark, tmp_path):
+    """Review r4: a single .nt.gz decompresses in one task — read_rdf
+    warns and repartitions the parsed rows for downstream parallelism."""
+    import gzip
+    import warnings as w
+
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    f = tmp_path / "big.nt.gz"
+    with gzip.open(f, "wt") as fh:
+        for i in range(500):
+            fh.write(f"<http://e/s{i}> <http://e/p> <http://e/o{i}> .\n")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        df = read_rdf(spark, str(f))
+        assert any("unsplittable" in str(c.message) for c in caught)
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == 500
+
+
+def test_autochunk_estimates_decompressed_size(spark, tmp_path, monkeypatch):
+    """Review r4: the chunk guard must trigger on the estimated
+    DECOMPRESSED size of a compressed document-mode file."""
+    import gzip
+
+    import rdf_i2b2_converter_spark.sources.rdf as rdfmod
+
+    f = tmp_path / "c.ttl.gz"
+    with gzip.open(f, "wt") as fh:
+        fh.write("@prefix ex: <http://e/> .\n")
+        for i in range(300):
+            fh.write(f"ex:s{i} ex:p ex:o{i} .\n")
+    on_disk = f.stat().st_size
+    # threshold between on-disk and 8x-estimated size: only the
+    # decompressed estimate crosses it
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", on_disk * 4)
+    assert rdfmod.turtle_doc_chunk_bytes(spark, str(f)) is not None
+    plain = tmp_path / "c.ttl"
+    with gzip.open(f, "rt") as src:
+        plain.write_text(src.read())
+    # uncompressed file of the same text stays under the 4x-on-disk bound
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", plain.stat().st_size * 2)
+    assert rdfmod.turtle_doc_chunk_bytes(spark, str(plain)) is None
+
+
+def test_max_input_file_bytes_glob(spark, tmp_path):
+    """Review r4: glob paths must expand (globStatus) instead of failing
+    into the silent 0 fallback."""
+    from rdf_i2b2_converter_spark.sources.rdf import _max_input_file_bytes
+
+    (tmp_path / "a.ttl").write_text("x" * 1000)
+    (tmp_path / "b.ttl").write_text("y" * 5000)
+    got = _max_input_file_bytes(spark, str(tmp_path / "*.ttl"))
+    assert got == 5000
