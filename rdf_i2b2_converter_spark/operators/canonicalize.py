@@ -137,11 +137,16 @@ def connected_components(
 def apply_canonical(df: DataFrame, mapping: DataFrame, id_col: str, out_col: str | None = None) -> DataFrame:
     """Rewrite ``id_col`` through the component mapping; unmapped ids keep
     themselves — the awk left-join + replace semantics
-    (src/scripts/postprod.bash:124-126,146-148, operator C8)."""
+    (src/scripts/postprod.bash:124-126,146-148, operator C8).
+
+    No forced broadcast hint (review r4): the mapping covers every
+    alias-connected entity and can be 10^9 rows at web scale; AQE
+    broadcasts it at runtime when it is actually small and otherwise
+    shuffles with skew-splitting — the same policy as emit_triples."""
     out_col = out_col or id_col
     m = mapping.select(F.col("id").alias(id_col), F.col("component").alias("__canon"))
     return (
-        df.join(F.broadcast(m), id_col, "left")
+        df.join(m, id_col, "left")
         .withColumn(out_col, F.coalesce(F.col("__canon"), F.col(id_col)))
         .drop("__canon")
     )

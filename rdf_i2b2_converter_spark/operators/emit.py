@@ -93,7 +93,12 @@ def emit_triples(
         m = canonical_mapping.select(
             F.col("id").alias("canonical_id"), F.col("component").alias("__canon")
         )
-        df = df.join(F.broadcast(m), "canonical_id", "left").withColumn(
+        # no forced broadcast hint (review r4): the CC mapping covers every
+        # alias-connected entity — gazetteer-derived graphs are tiny and AQE
+        # broadcasts them at runtime, but a web-scale alias graph can carry
+        # 10^9 ids, where a forced broadcast is a driver/executor OOM; the
+        # plain equi-join lets AQE pick broadcast vs shuffled+skew-split
+        df = df.join(m, "canonical_id", "left").withColumn(
             "canonical_entity",
             F.concat(F.lit("kg:c/"), F.coalesce(F.col("__canon"), F.col("canonical_id"))),
         ).drop("__canon")
