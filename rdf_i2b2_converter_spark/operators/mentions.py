@@ -199,7 +199,10 @@ def link_mentions(
     """
     cand = mentions.join(F.broadcast(gazetteer), "surface")
     if "lang" not in cand.columns and pages is not None:
-        cand = cand.join(F.broadcast(pages.select("url", "lang")), "url", "left")
+        # fallback path only (passthrough_cols avoids it): pages is
+        # CORPUS-sized, so no forced broadcast — AQE broadcasts a small
+        # pages frame and shuffle-joins a web-scale one (review r4)
+        cand = cand.join(pages.select("url", "lang"), "url", "left")
     lang_prior = (
         F.when(F.col("lang") == "en", 0.05).otherwise(0.0)
         if "lang" in cand.columns
