@@ -30,37 +30,13 @@ PROXY_DOCS = int(os.environ.get("SPARK_GRAFT_PROXY_DOCS", "20000"))
 
 
 def _run_proxy(n_docs: int) -> float:
-    """Single-thread reference-style proxy (same inner-loop code as
-    bench_reference_proxy.py, reduced N): returns docs/sec."""
-    import hashlib
-    import re
+    """Single-thread reference-style proxy, IMPORTED from
+    bench_reference_proxy so the ratio's denominator is the same code the
+    standalone baseline runs (review r4: a copy here could silently
+    drift). Returns docs/sec."""
+    from bench_reference_proxy import run_proxy
 
-    from rdf_i2b2_converter_spark.config import TOKEN_SPLIT_REGEX
-    from rdf_i2b2_converter_spark.functions.text import extract_text_py
-    from rdf_i2b2_converter_spark.operators.mentions import TokenAhoCorasick
-    from rdf_i2b2_converter_spark.sources import synthetic as syn
-
-    gaz = syn.gen_gazetteer_rows()
-    best: dict[str, tuple[str, float]] = {}
-    for surface, type_uri, _canon, weight in gaz:
-        if surface not in best or weight > best[surface][1]:
-            best[surface] = (type_uri, weight)
-    ac = TokenAhoCorasick(sorted(best))
-    split = re.compile(TOKEN_SPLIT_REGEX)
-    t0 = time.time()
-    for i in range(n_docs):
-        d = syn.gen_doc(i)
-        text = extract_text_py(d["html"])
-        toks = [t for t in split.split(text.lower()) if t]
-        seen: set[str] = set()
-        for surface, _b, _e in ac.find(toks):
-            seen.add(surface)
-        for surface in seen:
-            type_uri, _w = best[surface]
-            _ = "kg:e/" + hashlib.md5(
-                f"{d['url']}|{type_uri}|{surface}".encode()
-            ).hexdigest()
-    return n_docs / (time.time() - t0)
+    return float(run_proxy(n_docs)["docs_per_sec"])
 
 
 def main() -> None:

@@ -29,7 +29,10 @@ from rdf_i2b2_converter_spark.sources import synthetic as syn
 N_DOCS = 50_000
 
 
-def main() -> None:
+def run_proxy(n_docs: int) -> dict:
+    """The single-thread reference-style loop — importable so bench.py's
+    in-window ratio uses THIS code, not a copy that could drift (review
+    r4). Returns wall/docs_per_sec/n_triples."""
     gaz = syn.gen_gazetteer_rows()
     best: dict[str, tuple[str, float]] = {}
     for surface, type_uri, _canon, weight in gaz:
@@ -40,7 +43,7 @@ def main() -> None:
 
     t0 = time.time()
     n_triples = 0
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         d = syn.gen_doc(i)
         text = extract_text_py(d["html"])
         toks = [t for t in split.split(text.lower()) if t]
@@ -56,17 +59,16 @@ def main() -> None:
             n_triples += 3
             _ = subj
     wall = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "metric": "reference_proxy_single_thread",
-                "n_docs": N_DOCS,
-                "wall_sec": round(wall, 2),
-                "docs_per_sec": round(N_DOCS / wall, 1),
-                "n_triples": n_triples,
-            }
-        )
-    )
+    return {
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_triples": n_triples,
+    }
+
+
+def main() -> None:
+    print(json.dumps({"metric": "reference_proxy_single_thread", **run_proxy(N_DOCS)}))
 
 
 if __name__ == "__main__":

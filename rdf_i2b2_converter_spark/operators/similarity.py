@@ -450,10 +450,12 @@ def ivf_assign(
     — broadcast crossJoin + map-side-combining ``max_by`` keyed on
     ``id_col`` alone (review r4: grouping on every column would collapse
     duplicate rows out of the index and break on non-groupable column
-    types like maps), then an equi-join back that preserves every input
-    row and column. The result is the in-memory inverted file; write it
-    ``partitionBy('__cid')`` for the partition-pruned disk layout
-    (ivf_write_index)."""
+    types like maps), then a NULL-SAFE equi-join back that preserves
+    every input row and column (a NULL id row would vanish through a
+    plain equi-join). ``id_col`` must uniquely identify a vector — rows
+    sharing an id share one cluster assignment. The result is the
+    in-memory inverted file; write it ``partitionBy('__cid')`` for the
+    partition-pruned disk layout (ivf_write_index)."""
     spark = df.sparkSession
     cdf = _centroid_df(spark, centroids)
     v = F.col(vec_col).cast("array<double>")
@@ -470,8 +472,11 @@ def ivf_assign(
         )
         .groupBy(id_col)
         .agg(F.max_by("cid", F.col("__key")).alias("__cid"))
+    ).withColumnRenamed(id_col, "__aid")
+    return (
+        df.join(assignment, F.col(id_col).eqNullSafe(F.col("__aid")), "left")
+        .drop("__aid")
     )
-    return df.join(assignment, id_col)
 
 
 def _probe_cids(centroids: list[list[float]], query_vec: list[float], n_probes: int) -> list[int]:

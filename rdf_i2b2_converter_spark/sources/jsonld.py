@@ -158,6 +158,17 @@ class _JsonLdParser:
         return subj
 
     def _literal(self, subj, pred, v, ctx, coerce):
+        # @context datatype coercion applies to NATIVE scalars too (review
+        # r4: {"age": 5} under {"age": {"@type": "xsd:decimal"}} must match
+        # the explicit {"@value": 5, "@type": ...} spelling)
+        if (
+            isinstance(coerce, str)
+            and coerce != "@id"
+            and isinstance(v, (bool, int, float))
+        ):
+            dt = self._expand(coerce, ctx, use_vocab=True) or coerce
+            self.emit(subj, pred, _lex(v), dt)
+            return
         if isinstance(v, bool):
             self.emit(subj, pred, "true" if v else "false", XSD_NS + "boolean")
         elif isinstance(v, int):
@@ -287,6 +298,7 @@ def read_jsonld_lines(
     base_ctx = dict(context or {})
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seeds: dict[str, str] = {}  # one md5 per distinct file, not per line
         for pdf in batches:
             rows: list[tuple] = []
             for file, line in zip(pdf["file"], pdf["value"]):
@@ -296,7 +308,9 @@ def read_jsonld_lines(
                     obj = json.loads(line)
                 except ValueError:
                     continue  # surfaced by scan_jsonld_errors
-                seed = _bnode_seed(file)
+                seed = seeds.get(file)
+                if seed is None:
+                    seed = seeds[file] = _bnode_seed(file)
                 lh = hashlib.md5(line.encode("utf-8")).hexdigest()[:16]
                 p = _JsonLdParser(bnode_ns=f"g{seed}h{lh}x", label_ns=f"g{seed}x")
                 p.node(obj, dict(base_ctx))

@@ -632,6 +632,7 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["kind", *_TRIPLE_COLS, "pn_mask"]
+        seeds: dict[str, str] = {}  # one md5 per distinct file, not per line
         for pdf in batches:
             rows: list[tuple] = []
             for file, line in zip(pdf["file"], pdf["value"]):
@@ -646,9 +647,12 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
                 toks = _tokenize(line)
                 if not toks:
                     continue
+                seed = seeds.get(file)
+                if seed is None:
+                    seed = seeds[file] = _bnode_seed(file)
                 parser = _TurtleParser(
                     toks, mode=mode, allow_structs=False, text=line,
-                    bnode_ns=f"g{_bnode_seed(file)}x", remap_blanks=True,
+                    bnode_ns=f"g{seed}x", remap_blanks=True,
                 )
                 try:
                     parser.statement_line()
@@ -913,7 +917,9 @@ def scan_turtle_errors(spark: SparkSession, path: str, multiline: bool = True) -
         return files.mapInPandas(check_docs, schema="value string, error string")
 
     # ADVICE r3: line mode's prefix table is whole-file last-wins — a label
-    # re-declared with a DIFFERENT IRI silently picks one; surface it here
+    # re-declared with a DIFFERENT IRI silently picks one; surface it here.
+    # ONE collected scan feeds both the dup detection and the prefix table
+    # (review r4: this used to scan the corpus twice back-to-back)
     seen: dict[str, str] = {}
     dup_rows: list[tuple[str, str]] = []
     for r in (
@@ -935,8 +941,7 @@ def scan_turtle_errors(spark: SparkSession, path: str, multiline: bool = True) -
             )
         seen[label] = iri
 
-    prefixes = turtle_prefixes(spark, path)
-    bc = spark.sparkContext.broadcast(prefixes)
+    bc = spark.sparkContext.broadcast(dict(seen))
     lines = spark.read.text(path)
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1488,25 +1493,23 @@ def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None
     map-side-combinable aggregations (objects per (s,p), then predicate
     groups per s), deterministic order via sort_array — the same output at
     any parallelism. Prefix COMPACTION happens here; the @prefix header is
-    prepended per output file by :func:`write_turtle`."""
-    if "subj" in triples.columns:  # KG emission schema -> TRIPLES_RAW names
-        triples = triples.withColumnsRenamed(
-            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
-        )
-    if "o_lang" not in triples.columns:
-        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    prepended per output file by :func:`write_turtle`. Statements for
+    subjects CONNECTED THROUGH BLANK NODES are co-partitioned (same
+    part-file — labels are document-scoped on re-read, review r4)."""
+    triples = normalize_triples_schema(triples)
     rdf_type = F.col("p").isin("rdf:type", RDF_NS + "type")
     rendered = triples.select(
+        F.col("s"),
         _render_resource(F.col("s"), prefixes).alias("s_txt"),
         F.when(rdf_type, F.lit("a")).otherwise(
             _render_resource(F.col("p"), prefixes)
         ).alias("p_txt"),
         _render_object(prefixes).alias("o_txt"),
     )
-    by_pred = rendered.groupBy("s_txt", "p_txt").agg(
+    by_pred = rendered.groupBy("s", "s_txt", "p_txt").agg(
         F.array_join(F.sort_array(F.collect_set("o_txt")), ", ").alias("objs")
     )
-    by_subj = by_pred.groupBy("s_txt").agg(
+    by_subj = by_pred.groupBy("s", "s_txt").agg(
         F.array_join(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("p_txt", "objs"))),
@@ -1515,9 +1518,27 @@ def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None
             " ;\n    ",
         ).alias("body")
     )
-    return by_subj.select(
-        F.concat(F.col("s_txt"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value")
+    lines = by_subj.select(
+        F.col("s"),
+        F.concat(F.col("s_txt"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value"),
     )
+    is_bnode_obj = F.col("o_datatype").isNull() & F.col("o").startswith("_:")
+    bn_edges = triples.filter(is_bnode_obj).select(
+        F.col("s").alias("src_id"), F.col("o").alias("dst_id")
+    )
+    if not bn_edges.isEmpty():
+        from ..operators.canonicalize import connected_components
+
+        comp = connected_components(bn_edges).withColumnsRenamed(
+            {"id": "s", "component": "__filekey"}
+        )
+        lines = (
+            lines.join(comp, "s", "left")
+            .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col("s")))
+            .repartition(F.col("__filekey"))
+            .drop("__filekey")
+        )
+    return lines.drop("s")
 
 
 def write_turtle(
@@ -1556,20 +1577,57 @@ _NCNAME_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
 _XML_ILLEGAL = {c: 0xFFFD for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)}
 
 
-def grouped_by_subject(triples: DataFrame) -> DataFrame:
-    """Shared document-sink preamble: normalize the KG emission schema to
-    TRIPLES_RAW names, backfill o_lang, and aggregate one row per subject
-    with a deterministic sorted (p, o, o_datatype, o_lang) list — a JVM
-    ``collect_list`` (map-side combinable, subject-sized groups). Used by
-    :func:`write_rdfxml` and jsonld.write_jsonld."""
+def normalize_triples_schema(triples: DataFrame) -> DataFrame:
+    """Normalize the KG emission schema to TRIPLES_RAW names and backfill
+    o_lang — idempotent; shared by every document sink."""
     if "subj" in triples.columns:
         triples = triples.withColumnsRenamed(
             {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
         )
     if "o_lang" not in triples.columns:
         triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
-    return triples.groupBy("s").agg(
+    return triples
+
+
+def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> DataFrame:
+    """Shared document-sink preamble: normalize (idempotent), aggregate one
+    row per subject with a deterministic sorted (p, o, o_datatype, o_lang)
+    list — a JVM ``collect_list`` (map-side combinable, subject-sized
+    groups) — and, with ``colocate_bnodes``, repartition so that subjects
+    CONNECTED THROUGH BLANK NODES land in the same output partition
+    (= the same part-file under ``df.write``).
+
+    Why (review r4, reproduced): every part-file is its own RDF document,
+    and the readers correctly scope ``_:`` labels per file — so a bnode
+    link whose two endpoints are written into different part-files comes
+    back SEVERED on re-read. Connected components over just the
+    bnode-link edges (usually a small fraction of the graph; sub-200k
+    edge sets resolve driver-side inside connected_components) gives each
+    bnode cluster one partition key; bnode-free subjects hash freely.
+    Used by :func:`write_rdfxml`, :func:`triples_to_turtle` and
+    jsonld.write_jsonld."""
+    triples = normalize_triples_schema(triples)
+    grouped = triples.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
+    )
+    if not colocate_bnodes:
+        return grouped
+    is_bnode_obj = F.col("o_datatype").isNull() & F.col("o").startswith("_:")
+    bn_edges = triples.filter(is_bnode_obj).select(
+        F.col("s").alias("src_id"), F.col("o").alias("dst_id")
+    )
+    if bn_edges.isEmpty():
+        return grouped
+    from ..operators.canonicalize import connected_components
+
+    comp = connected_components(bn_edges).withColumnsRenamed(
+        {"id": "s", "component": "__filekey"}
+    )
+    return (
+        grouped.join(comp, "s", "left")
+        .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col("s")))
+        .repartition(F.col("__filekey"))
+        .drop("__filekey")
     )
 
 
@@ -1613,12 +1671,7 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     import pandas as pd
     from xml.sax.saxutils import escape, quoteattr
 
-    if "subj" in triples.columns:
-        triples = triples.withColumnsRenamed(
-            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
-        )
-    if "o_lang" not in triples.columns:
-        triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
+    triples = normalize_triples_schema(triples)  # once; grouped_by_subject is idempotent
     preds = [r["p"] for r in triples.select("p").distinct().collect()]
     ns_map: dict[str, str] = {}
     for iri in sorted(preds):

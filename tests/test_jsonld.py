@@ -220,3 +220,16 @@ def test_scan_jsonld_errors_lines_mode(spark, tmp_path):
     errs = {r["error"] for r in scan_jsonld_errors(spark, str(f), lines=True).collect()}
     assert any("invalid JSON" in e for e in errs)
     assert any("no @vocab" in e for e in errs)
+
+
+def test_jsonld_native_scalar_coercion(spark, tmp_path):
+    """Review r4: @type coercion from the term definition applies to
+    native JSON numbers/booleans, matching the explicit @value form."""
+    f = tmp_path / "coerce.jsonld"
+    f.write_text(
+        '{"@context": {"ex": "http://e/",'
+        ' "age": {"@id": "ex:age", "@type": "http://www.w3.org/2001/XMLSchema#decimal"}},'
+        ' "@id": "ex:a", "age": 5}'
+    )
+    rows = {(r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(f)).collect()}
+    assert rows == {("http://e/age", "5", "http://www.w3.org/2001/XMLSchema#decimal")}

@@ -1018,3 +1018,46 @@ def test_max_input_file_bytes_glob(spark, tmp_path):
     (tmp_path / "b.ttl").write_text("y" * 5000)
     got = _max_input_file_bytes(spark, str(tmp_path / "*.ttl"))
     assert got == 5000
+
+
+def test_document_sinks_colocate_bnode_links_across_partfiles(spark, tmp_path):
+    """Review r4 (reproduced): a bnode link whose endpoints land in
+    different part-files comes back severed, because labels are
+    file-scoped on re-read. All three document sinks must co-locate
+    bnode-connected subjects into one part-file."""
+    from rdf_i2b2_converter_spark.sources.jsonld import read_jsonld_lines, write_jsonld
+    from rdf_i2b2_converter_spark.sources.rdf import (
+        read_rdfxml,
+        read_turtle,
+        write_rdfxml,
+        write_turtle,
+    )
+
+    E = "http://e/"
+    rows = []
+    for i in range(12):  # 12 bnode-linked pairs + 24 free subjects
+        rows.append((f"{E}a{i}", f"{E}knows", f"_:u{i}", None, None))
+        rows.append((f"_:u{i}", f"{E}code", f"m{i}", "xsd:string", None))
+        rows.append((f"{E}free{2*i}", f"{E}p", f"v{i}", "xsd:string", None))
+        rows.append((f"{E}free{2*i+1}", f"{E}p", f"w{i}", "xsd:string", None))
+    df = spark.createDataFrame(
+        rows, "s string, p string, o string, o_datatype string, o_lang string"
+    ).repartition(8)
+
+    def assert_links_intact(back):
+        got = {(r["s"], r["p"], r["o"]) for r in back}
+        for i in range(12):
+            ref = next(o for (s, p, o) in got if s == f"{E}a{i}" and p == f"{E}knows")
+            assert (ref, f"{E}code", f"m{i}") in got, (i, ref)
+
+    out = str(tmp_path / "nd")
+    write_jsonld(df, out)
+    assert_links_intact(read_jsonld_lines(spark, out).collect())
+
+    out = str(tmp_path / "xml")
+    write_rdfxml(df, out)
+    assert_links_intact(read_rdfxml(spark, out).collect())
+
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out)
+    assert_links_intact(read_turtle(spark, out).collect())
