@@ -1294,12 +1294,13 @@ def strip_compression_suffix(path: str) -> tuple[str, bool]:
     return base, base != path
 
 
-def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
-    """Largest single file matching ``path`` via the Hadoop FileSystem API
-    (any supported scheme; globs expanded with globStatus, matching what
-    spark.read.text will actually scan — review r4: getFileStatus alone
-    throws on globs and silently disabled the size guard); 0 on any
-    listing failure (the guard is best-effort, never a crash)."""
+def _input_files_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(largest single file, file count) matching ``path`` via the Hadoop
+    FileSystem API (any supported scheme; globs expanded with globStatus,
+    matching what spark.read.text will actually scan — review r4:
+    getFileStatus alone throws on globs and silently disabled the size
+    guard); (0, 0) on any listing failure (the guards are best-effort,
+    never a crash)."""
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -1308,17 +1309,23 @@ def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
         statuses = fs.globStatus(p)
         if statuses is None or len(statuses) == 0:
             statuses = [fs.getFileStatus(p)]
-        biggest = 0
+        biggest, count = 0, 0
         for st in statuses:
             if st.isDirectory():
                 it = fs.listFiles(st.getPath(), True)
                 while it.hasNext():
                     biggest = max(biggest, int(it.next().getLen()))
+                    count += 1
             else:
                 biggest = max(biggest, int(st.getLen()))
-        return biggest
+                count += 1
+        return biggest, count
     except Exception:
-        return 0
+        return 0, 0
+
+
+def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
+    return _input_files_stats(spark, path)[0]
 
 
 def turtle_doc_chunk_bytes(spark: SparkSession, path: str) -> int | None:
@@ -1349,9 +1356,15 @@ def _respread_if_unsplittable(spark: SparkSession, path: str, df: DataFrame) -> 
     FILE (unsplittable codecs) — a giant single .nt.gz would otherwise
     flow through every narrow downstream stage at parallelism 1 (review
     r4). Warn and repartition the PARSED rows to the default parallelism;
-    the scan itself stays per-file (inherent to the codec)."""
+    the scan itself stays per-file (inherent to the codec). Skipped when
+    the input already has at least defaultParallelism FILES — a many-file
+    compressed corpus has ample scan parallelism, and a full shuffle of
+    every parsed row would be pure waste (review r4 follow-up)."""
     _, compressed = strip_compression_suffix(path)
     if not compressed:
+        return df
+    _biggest, n_files = _input_files_stats(spark, path)
+    if n_files >= spark.sparkContext.defaultParallelism:
         return df
     import warnings
 

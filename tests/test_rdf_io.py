@@ -1061,3 +1061,24 @@ def test_document_sinks_colocate_bnode_links_across_partfiles(spark, tmp_path):
     out = str(tmp_path / "ttl")
     write_turtle(df, out)
     assert_links_intact(read_turtle(spark, out).collect())
+
+
+def test_respread_skipped_for_many_file_compressed_corpus(spark, tmp_path):
+    """Review r4 follow-up: a many-file .nt.gz corpus already scans in
+    parallel — no warning, no pointless full shuffle."""
+    import gzip
+    import warnings as w
+
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    d = tmp_path / "many_gz"
+    d.mkdir()
+    n = spark.sparkContext.defaultParallelism
+    for i in range(n):
+        with gzip.open(d / f"p{i}.nt.gz", "wt") as fh:
+            fh.write(f"<http://e/s{i}> <http://e/p> <http://e/o> .\n")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        df = read_rdf(spark, str(d) + "/*.nt.gz")
+        assert not any("unsplittable" in str(c.message) for c in caught)
+    assert df.count() == n
