@@ -161,9 +161,12 @@ class _JsonLdParser:
         # @context datatype coercion applies to NATIVE scalars too (review
         # r4: {"age": 5} under {"age": {"@type": "xsd:decimal"}} must match
         # the explicit {"@value": 5, "@type": ...} spelling)
+        # keyword type mappings (@id/@vocab/@none/@json) are NOT datatype
+        # coercions — stamping the keyword as a datatype would emit
+        # garbage triples (review r4)
         if (
             isinstance(coerce, str)
-            and coerce != "@id"
+            and not coerce.startswith("@")
             and isinstance(v, (bool, int, float))
         ):
             dt = self._expand(coerce, ctx, use_vocab=True) or coerce
@@ -180,10 +183,10 @@ class _JsonLdParser:
                 obj_iri = self._expand(v, ctx, use_vocab=False)
                 if obj_iri is not None:
                     self.emit(subj, pred, obj_iri)
-            elif isinstance(coerce, str):
+            elif isinstance(coerce, str) and not coerce.startswith("@"):
                 dt = self._expand(coerce, ctx, use_vocab=True) or coerce
                 self.emit(subj, pred, v, dt)
-            else:
+            else:  # no coercion, or a non-datatype keyword mapping
                 self.emit(subj, pred, v, _PLAIN)
         else:
             self.errors.append(f"unsupported literal {v!r}")
@@ -380,6 +383,7 @@ def scan_jsonld_errors(
         base_ctx = dict(context or {})
 
         def check_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seeds: dict[str, str] = {}  # one md5 per distinct file
             for pdf in batches:
                 bad: list[tuple[str, str]] = []
                 for file, line in zip(pdf["file"], pdf["value"]):
@@ -390,7 +394,10 @@ def scan_jsonld_errors(
                     except ValueError as e:
                         bad.append((line, f"invalid JSON: {e}"))
                         continue
-                    p = _JsonLdParser(bnode_ns=f"g{_bnode_seed(file)}x")
+                    seed = seeds.get(file)
+                    if seed is None:
+                        seed = seeds[file] = _bnode_seed(file)
+                    p = _JsonLdParser(bnode_ns=f"g{seed}x")
                     p.node(obj, dict(base_ctx))
                     bad.extend((line, msg) for msg in p.errors)
                 yield pd.DataFrame(bad, columns=["value", "error"])

@@ -664,7 +664,9 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
     return lines.mapInPandas(parse, schema=f"kind string, {_TRIPLE_SCHEMA}, pn_mask int")
 
 
-def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) -> DataFrame:
+def _read_turtle_lines(
+    spark: SparkSession, path: str, expand_prefixes: bool, respread: bool = False
+) -> DataFrame:
     """Statement-per-line Turtle — the SPLITTABLE scale path (a 100 TB
     single-file dump parallelizes by line ranges). SINGLE text scan:
     workers parse with compact pnames + pn_mask markers and emit prefix
@@ -686,6 +688,11 @@ def _read_turtle_lines(spark: SparkSession, path: str, expand_prefixes: bool) ->
     import pandas as pd
 
     lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    if respread:
+        # unsplittable-codec few-file input: spread the RAW lines before
+        # the Python parse stage (the file column is captured above, so
+        # the shuffle does not lose provenance)
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
     parsed = turtle_lines_plan(lines, "defer" if expand_prefixes else "compact")
     if not expand_prefixes:
         return parsed.filter(F.col("kind") == "t").select(*_TRIPLE_COLS)
@@ -866,6 +873,7 @@ def read_turtle(
     expand_prefixes: bool = True,
     multiline: bool = True,
     chunk_bytes: int | None = None,
+    respread: bool = False,
 ) -> DataFrame:
     """Turtle file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang).
 
@@ -888,10 +896,14 @@ def read_turtle(
     ``chunk_bytes`` (document mode only): split each file at top-level
     statement boundaries into ~chunk_bytes blocks parsed in parallel —
     FULL Turtle for giant single files, with output identical to the
-    single-task parse (offset-stable bnode labels)."""
+    single-task parse (offset-stable bnode labels).
+
+    ``respread`` (line mode only): repartition the raw lines before the
+    parse stage — for few-file unsplittable-codec inputs (see
+    read_rdf's _should_respread, which decides this automatically)."""
     if multiline:
         return _read_turtle_documents(spark, path, expand_prefixes, chunk_bytes)
-    return _read_turtle_lines(spark, path, expand_prefixes)
+    return _read_turtle_lines(spark, path, expand_prefixes, respread)
 
 
 def scan_turtle_errors(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
@@ -1294,13 +1306,17 @@ def strip_compression_suffix(path: str) -> tuple[str, bool]:
     return base, base != path
 
 
-def _input_files_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(largest single file, file count) matching ``path`` via the Hadoop
-    FileSystem API (any supported scheme; globs expanded with globStatus,
-    matching what spark.read.text will actually scan — review r4:
-    getFileStatus alone throws on globs and silently disabled the size
-    guard); (0, 0) on any listing failure (the guards are best-effort,
-    never a crash)."""
+def _input_files_stats(spark: SparkSession, path: str) -> tuple[int, int, bool]:
+    """(largest single file, file count, any compressed) matching ``path``
+    via the Hadoop FileSystem API (any supported scheme; globs expanded
+    with globStatus, matching what spark.read.text will actually scan —
+    review r4: getFileStatus alone throws on globs and silently disabled
+    the size guard). Compression is detected on the REAL file names, so a
+    directory of .gz members is seen even though the path itself carries
+    no suffix. (0, 0, path-suffix guess) on any listing failure — the
+    guards are best-effort, never a crash, and callers treat count==0 as
+    'stats unavailable'."""
+    _, path_compressed = strip_compression_suffix(path)
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -1309,19 +1325,26 @@ def _input_files_stats(spark: SparkSession, path: str) -> tuple[int, int]:
         statuses = fs.globStatus(p)
         if statuses is None or len(statuses) == 0:
             statuses = [fs.getFileStatus(p)]
-        biggest, count = 0, 0
+        biggest, count, compressed = 0, 0, False
         for st in statuses:
             if st.isDirectory():
                 it = fs.listFiles(st.getPath(), True)
                 while it.hasNext():
-                    biggest = max(biggest, int(it.next().getLen()))
+                    f = it.next()
+                    biggest = max(biggest, int(f.getLen()))
                     count += 1
+                    compressed = compressed or bool(
+                        _COMPRESSION_SUFFIX_RE.search(f.getPath().getName())
+                    )
             else:
                 biggest = max(biggest, int(st.getLen()))
                 count += 1
-        return biggest, count
+                compressed = compressed or bool(
+                    _COMPRESSION_SUFFIX_RE.search(st.getPath().getName())
+                )
+        return biggest, count, compressed
     except Exception:
-        return 0, 0
+        return 0, 0, path_compressed
 
 
 def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
@@ -1331,10 +1354,11 @@ def _max_input_file_bytes(spark: SparkSession, path: str) -> int:
 def turtle_doc_chunk_bytes(spark: SparkSession, path: str) -> int | None:
     """Shared auto-chunk decision for document-mode Turtle (read_rdf and
     the data CLI use the same policy and the same warning): estimate the
-    biggest input file's DECOMPRESSED size and, above the wholetext
-    bound, warn and return the chunk size to parse in parallel blocks."""
-    biggest = _max_input_file_bytes(spark, path)
-    _, compressed = strip_compression_suffix(path)
+    biggest input file's DECOMPRESSED size (compression detected on real
+    member file names, so a directory of .ttl.bz2 counts) and, above the
+    wholetext bound, warn and return the chunk size to parse in parallel
+    blocks."""
+    biggest, _count, compressed = _input_files_stats(spark, path)
     est = biggest * (_COMPRESSION_EXPANSION_GUESS if compressed else 1)
     if est > _TTL_DOC_WARN_BYTES:
         import warnings
@@ -1351,30 +1375,32 @@ def turtle_doc_chunk_bytes(spark: SparkSession, path: str) -> int | None:
     return None
 
 
-def _respread_if_unsplittable(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+def _should_respread(spark: SparkSession, path: str) -> bool:
     """Line-oriented reads over gzip/zstd inputs decompress ONE TASK PER
     FILE (unsplittable codecs) — a giant single .nt.gz would otherwise
-    flow through every narrow downstream stage at parallelism 1 (review
-    r4). Warn and repartition the PARSED rows to the default parallelism;
-    the scan itself stays per-file (inherent to the codec). Skipped when
-    the input already has at least defaultParallelism FILES — a many-file
-    compressed corpus has ample scan parallelism, and a full shuffle of
-    every parsed row would be pure waste (review r4 follow-up)."""
-    _, compressed = strip_compression_suffix(path)
-    if not compressed:
-        return df
-    _biggest, n_files = _input_files_stats(spark, path)
+    flow through the PARSE and every narrow downstream stage at
+    parallelism 1 (review r4). True = warn and repartition the RAW LINES
+    (before parsing, so the expensive parse itself spreads; review r4
+    follow-up — repartitioning parsed rows left the parse serial).
+    Compression is detected on real member file names (a directory of
+    .gz files counts). False when the input already has at least
+    defaultParallelism files (ample scan parallelism; a shuffle would be
+    pure waste) or when stats are unavailable (count==0: fail closed —
+    never add a spurious full shuffle)."""
+    _biggest, n_files, compressed = _input_files_stats(spark, path)
+    if not compressed or n_files == 0:
+        return False
     if n_files >= spark.sparkContext.defaultParallelism:
-        return df
+        return False
     import warnings
 
     warnings.warn(
         "compressed text input uses an unsplittable codec: the scan runs one "
-        "task per file; parsed rows are repartitioned for downstream "
+        "task per file; raw lines are repartitioned before parsing for "
         "parallelism. For scale, store uncompressed/splittable or many files.",
         stacklevel=3,
     )
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return True
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
@@ -1402,12 +1428,15 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         else "parquet"
     )
     if fmt == "ntriples":
-        return _respread_if_unsplittable(spark, path, read_ntriples(spark, path))
+        lines = spark.read.text(path)
+        if _should_respread(spark, path):
+            lines = lines.repartition(spark.sparkContext.defaultParallelism)
+        return ntriples_from_lines(lines)
     if fmt == "turtle":
         return read_turtle(spark, path, chunk_bytes=turtle_doc_chunk_bytes(spark, path))
     if fmt == "turtle-lines":
-        return _respread_if_unsplittable(
-            spark, path, read_turtle(spark, path, multiline=False)
+        return read_turtle(
+            spark, path, multiline=False, respread=_should_respread(spark, path)
         )
     if fmt == "rdfxml":
         return read_rdfxml(spark, path)
@@ -1509,7 +1538,9 @@ def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None
     prepended per output file by :func:`write_turtle`. Statements for
     subjects CONNECTED THROUGH BLANK NODES are co-partitioned (same
     part-file — labels are document-scoped on re-read, review r4)."""
-    triples = normalize_triples_schema(triples)
+    # persist: the colocation branch probes this frame before the write
+    # job scans the rendered lines — avoids recomputing the upstream plan
+    triples = normalize_triples_schema(triples).persist()
     rdf_type = F.col("p").isin("rdf:type", RDF_NS + "type")
     rendered = triples.select(
         F.col("s"),
@@ -1535,23 +1566,10 @@ def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None
         F.col("s"),
         F.concat(F.col("s_txt"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value"),
     )
-    is_bnode_obj = F.col("o_datatype").isNull() & F.col("o").startswith("_:")
-    bn_edges = triples.filter(is_bnode_obj).select(
-        F.col("s").alias("src_id"), F.col("o").alias("dst_id")
-    )
-    if not bn_edges.isEmpty():
-        from ..operators.canonicalize import connected_components
-
-        comp = connected_components(bn_edges).withColumnsRenamed(
-            {"id": "s", "component": "__filekey"}
-        )
-        lines = (
-            lines.join(comp, "s", "left")
-            .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col("s")))
-            .repartition(F.col("__filekey"))
-            .drop("__filekey")
-        )
-    return lines.drop("s")
+    bn_edges = triples.filter(
+        F.col("o_datatype").isNull() & F.col("o").startswith("_:")
+    ).select(F.col("s").alias("src_id"), F.col("o").alias("dst_id"))
+    return _colocate_by_bnode_cluster(lines, bn_edges).drop("s")
 
 
 def write_turtle(
@@ -1620,24 +1638,37 @@ def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> Data
     Used by :func:`write_rdfxml`, :func:`triples_to_turtle` and
     jsonld.write_jsonld."""
     triples = normalize_triples_schema(triples)
+    # persist: the colocation branch probes this frame (emptiness + CC
+    # edges) before the caller's write job scans it — without caching the
+    # whole upstream plan would recompute 2-3x per sink (review r4)
     grouped = triples.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
-    )
+    ).persist()
     if not colocate_bnodes:
         return grouped
-    is_bnode_obj = F.col("o_datatype").isNull() & F.col("o").startswith("_:")
-    bn_edges = triples.filter(is_bnode_obj).select(
-        F.col("s").alias("src_id"), F.col("o").alias("dst_id")
+    t = F.explode("po").alias("t")
+    bn_edges = (
+        grouped.select("s", t)
+        .filter(F.col("t.o_datatype").isNull() & F.col("t.o").startswith("_:"))
+        .select(F.col("s").alias("src_id"), F.col("t.o").alias("dst_id"))
     )
+    return _colocate_by_bnode_cluster(grouped, bn_edges)
+
+
+def _colocate_by_bnode_cluster(frame: DataFrame, bn_edges: DataFrame) -> DataFrame:
+    """Repartition ``frame`` (keyed by column ``s``) so every group of
+    subjects connected through blank-node links (``bn_edges``: src_id,
+    dst_id) shares one partition — one part-file under ``df.write``.
+    No-op when there are no bnode links."""
     if bn_edges.isEmpty():
-        return grouped
+        return frame
     from ..operators.canonicalize import connected_components
 
     comp = connected_components(bn_edges).withColumnsRenamed(
         {"id": "s", "component": "__filekey"}
     )
     return (
-        grouped.join(comp, "s", "left")
+        frame.join(comp, "s", "left")
         .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col("s")))
         .repartition(F.col("__filekey"))
         .drop("__filekey")

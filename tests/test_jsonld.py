@@ -233,3 +233,21 @@ def test_jsonld_native_scalar_coercion(spark, tmp_path):
     )
     rows = {(r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(f)).collect()}
     assert rows == {("http://e/age", "5", "http://www.w3.org/2001/XMLSchema#decimal")}
+
+
+def test_jsonld_keyword_type_mapping_not_a_datatype(spark, tmp_path):
+    """Review r4: '@type': '@none' / '@vocab' term mappings are keyword
+    mappings, not datatype coercions — native and string values keep
+    their natural typing instead of a literal '@none' datatype."""
+    f = tmp_path / "kw.jsonld"
+    f.write_text(
+        '{"@context": {"ex": "http://e/",'
+        ' "flag": {"@id": "ex:flag", "@type": "@none"},'
+        ' "note": {"@id": "ex:note", "@type": "@vocab"}},'
+        ' "@id": "ex:a", "flag": true, "note": "hello"}'
+    )
+    rows = {(r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(f)).collect()}
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert ("http://e/flag", "true", f"{XSD}boolean") in rows
+    assert ("http://e/note", "hello", "xsd:string") in rows
+    assert not any(dt and dt.startswith("@") for (_p, _o, dt) in rows)
