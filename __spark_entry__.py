@@ -619,12 +619,6 @@ def _h4_format_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", format_date_generalized("o_orderdate").alias("obs_date"))
 
 
-_H4_SQL = """
-SELECT o_orderkey, strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') AS obs_date
-FROM orders WHERE o_orderkey <= 2000
-"""
-
-
 def _h9_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -634,10 +628,32 @@ def _h9_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_H9_SQL = """
-SELECT doc_id,
-       coalesce(regexp_extract(source, '([0-9]+)$', 1), '') AS src_num,
-       coalesce(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word
+def _h4_h9_date_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (frees a 50-window slot, VERDICT r4 #1): H4 format_date
+    over orders ∪ H9 regexp extracts over documents on an aligned
+    (key, v1, v2) schema — both operators still oracle-checked."""
+    a = _h4_format_date(spark, sf_dir).select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("key"),
+        F.col("obs_date").alias("v1"),
+        F.lit("").alias("v2"),
+    )
+    b = _h9_regexp_extract(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("key"),
+        F.col("src_num").alias("v1"),
+        F.col("first_word").alias("v2"),
+    )
+    return a.unionByName(b)
+
+
+_H4_H9_SQL = """
+SELECT 'o' || o_orderkey AS key,
+       strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') AS v1,
+       '' AS v2
+FROM orders WHERE o_orderkey <= 2000
+UNION ALL
+SELECT 'd' || doc_id,
+       coalesce(regexp_extract(source, '([0-9]+)$', 1), ''),
+       coalesce(regexp_extract(text, '^([a-z]+)', 1), '')
 FROM documents
 """
 
@@ -686,20 +702,6 @@ def _t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T_EXACT_DEDUP_SQL = f"""
 SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY md5(trim(regexp_replace(lower(text), '{_TOK}', ' ', 'g')))
-"""
-
-
-def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rdf_i2b2_converter_spark.functions.text import token_count
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
-
-
-_T_TOKEN_COUNT_SQL = f"""
-SELECT doc_id, len(list_filter(string_split_regex(lower(text), '{_TOK}'), x -> x <> ''))::BIGINT
-       AS n_tokens
-FROM documents
 """
 
 
@@ -770,20 +772,29 @@ FROM base
 """
 
 
-def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rdf_i2b2_converter_spark.functions.text import fingerprint, min_shingle_fingerprint
+def _t_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (frees a 50-window slot, VERDICT r4 #1): token counting +
+    whole-doc/min-shingle fingerprints in ONE documents pass — one
+    tokenization, three derived columns."""
+    from rdf_i2b2_converter_spark.functions.text import (
+        fingerprint,
+        min_shingle_fingerprint,
+        token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
         fingerprint("text").alias("fp"),
         min_shingle_fingerprint("text", 3).alias("min_shingle_fp"),
     )
 
 
-_T_FINGERPRINT_SQL = f"""
+_T_TOKEN_FP_SQL = f"""
 WITH {_TOKS_CTE}
 SELECT d.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
        md5(trim(regexp_replace(lower(d.text), '{_TOK}', ' ', 'g'))) AS fp,
        list_aggregate(list_transform(list_transform(range(1, len(t.t) - 1),
            i -> array_to_string(list_slice(t.t, i, i + 2), ' ')), s -> md5(s)), 'min')
@@ -982,6 +993,32 @@ def _s_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ann_index(
         spark, path, q, k=10, n_planes=8, hamming_radius=1, n_bands=6
     ).select("vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN family driver oracle (VERDICT r4 #1): distributed-Lloyd
+    train -> nearest-centroid assign -> top-k at FULL probes over the same
+    deterministic clustered vectors as s_ann_index. Full-probe IVF scans
+    every cluster, so the ranking is EXACTLY brute force and the DuckDB
+    cosine oracle is clean; fewer probes (the scale path: partition-pruned
+    reads) are recall-tested in pytest."""
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    vecs = ids.withColumn(
+        "embedding", F.array(*[_ann_idx_component(j) for j in range(_ANN_IDX_DIM)])
+    )
+    n_centroids = 4
+    cents = ivf_train(vecs, dim=_ANN_IDX_DIM, n_centroids=n_centroids, n_iters=2)
+    assigned = ivf_assign(vecs, cents)
+    q = [3.0 if j == 1 else 0.0 for j in range(_ANN_IDX_DIM)]
+    return ivf_topk(assigned, cents, q, k=10, n_probes=n_centroids).select(
+        "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim")
+    )
 
 
 def _s_ann_index_sql() -> str:
@@ -1498,6 +1535,67 @@ SELECT 'http://ex.org/n' || k, 'http://ex.org/label', nm, 'xsd:string', 'en' FRO
 """
 
 
+def _a1d_jsonld_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — JSON-LD source (the reference's third guess_format front door,
+    src/utils.py:58-63; VERDICT r4 #1 asked for this oracle row):
+    synthesize deterministic NDJSON-LD from the nation table (one node
+    object per line, shared static context — the crawler-output shape) and
+    parse with the line-splittable reader. Exercises @type expansion,
+    prefix terms, '@type': '@id' IRI coercion, native-integer literals and
+    @language literals; no bnodes (labels would be seed-dependent and the
+    oracle must be exact)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from rdf_i2b2_converter_spark.sources.jsonld import read_jsonld_lines
+
+    ctx = {
+        "ex": "http://ex.org/",
+        "code": "ex:code",
+        "inRegion": {"@id": "ex:inRegion", "@type": "@id"},
+        "key": "ex:key",
+        "label": "ex:label",
+    }
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = []
+    for r in nat:
+        k, reg, nm = r["n_nationkey"], r["n_regionkey"], r["n_name"]
+        lines.append(_json.dumps({
+            "@id": f"http://ex.org/n{k}",
+            "@type": "ex:Nation",
+            "code": nm,
+            "inRegion": f"ex:r{reg}",
+            "key": k,
+            "label": {"@value": nm, "@language": "en"},
+        }, sort_keys=True))
+    d = tempfile.mkdtemp(prefix="jsonld_scan_")
+    path = os.path.join(d, "nations.jsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return read_jsonld_lines(spark, path, context=ctx).select(
+        "s", "p", "o", "o_datatype", "o_lang"
+    )
+
+
+_A1D_JSONLD_SQL = """
+WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation)
+SELECT 'http://ex.org/n' || k AS s,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'http://ex.org/Nation' AS o,
+       NULL::VARCHAR AS o_datatype, NULL::VARCHAR AS o_lang FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/code', nm, 'xsd:string', NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/inRegion', 'http://ex.org/r' || r, NULL, NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/key', k::VARCHAR,
+       'http://www.w3.org/2001/XMLSchema#integer', NULL FROM n
+UNION ALL
+SELECT 'http://ex.org/n' || k, 'http://ex.org/label', nm, 'xsd:string', 'en' FROM n
+"""
+
+
 def _c5_provider_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 star-schema path — the reference's 4-hop provider query feeding
     PROVIDER_DIMENSION (src/starschema.py:65-116): provider instances from
@@ -1561,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_turtle_scan": _a1_turtle_scan,
         "a1b_turtle_unionof": _a1b_turtle_unionof,
         "a1c_rdfxml_scan": _a1c_rdfxml_scan,
+        "a1d_jsonld_scan": _a1d_jsonld_scan,
         "c5_provider_dim": _c5_provider_dim,
         # KG pipeline (north_star semantics)
         "kg_mentions": _kg_mentions,
@@ -1596,17 +1695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_blacklist_filter": _b1_blacklist,
         "b7_mandatory_filter": _b7_mandatory,
         "f1_f3_setops": _f1_f3_setops,
-        # scalar functions (H4, H9, H13)
-        "h4_format_date": _h4_format_date,
-        "h9_regexp_extract": _h9_regexp_extract,
+        # scalar functions (H4+H9 composite, H11, H13)
+        "h4_h9_date_regex": _h4_h9_date_regex,
         "h11_xml_template": _h11_xml_template,
         "h13_value_dispatch": _h13_value_dispatch,
         # training-data ops
         "t_exact_dedup": _t_exact_dedup,
-        "t_token_count": _t_token_count,
+        "t_token_fingerprint": _t_token_fingerprint,
         "t_langid": _t_langid,
         "t_quality": _t_quality,
-        "t_fingerprint": _t_fingerprint,
         "t_minhash": _t_minhash,
         "t_lsh_pairs": _t_lsh_pairs,
         "t_jaccard": _t_jaccard,
@@ -1614,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_per_label": _s_knn_label,
         "s_embed_neardup": _s_embed_neardup,
         "s_ann_index": _s_ann_index,
+        "s_ivf_topk": _s_ivf_topk,
         # streaming-analog windowed agg (J)
         "j_windowed_counts": _j_windowed_counts,
         # rows-only (non-SQL-expressible)
@@ -1627,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_turtle_scan": _A1_TURTLE_SQL,
         "a1b_turtle_unionof": _A1B_UNIONOF_SQL,
         "a1c_rdfxml_scan": _A1C_RDFXML_SQL,
+        "a1d_jsonld_scan": _A1D_JSONLD_SQL,
         "c5_provider_dim": _C5_PROVIDER_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_type_triples": _KG_TYPE_TRIPLES_SQL,
@@ -1655,15 +1754,13 @@ def oracle_sql() -> dict[str, str]:
         "b1_blacklist_filter": _B1_SQL,
         "b7_mandatory_filter": _B7_SQL,
         "f1_f3_setops": _F1_F3_SQL,
-        "h4_format_date": _H4_SQL,
-        "h9_regexp_extract": _H9_SQL,
+        "h4_h9_date_regex": _H4_H9_SQL,
         "h11_xml_template": _h11_sql(),
         "h13_value_dispatch": _H13_SQL,
         "t_exact_dedup": _T_EXACT_DEDUP_SQL,
-        "t_token_count": _T_TOKEN_COUNT_SQL,
+        "t_token_fingerprint": _T_TOKEN_FP_SQL,
         "t_langid": _T_LANGID_SQL,
         "t_quality": _T_QUALITY_SQL,
-        "t_fingerprint": _T_FINGERPRINT_SQL,
         "t_minhash": _T_MINHASH_SQL,
         "t_lsh_pairs": _T_LSH_PAIRS_SQL,
         "t_jaccard": _T_JACCARD_SQL,
@@ -1671,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "s_knn_per_label": _S_KNN_SQL,
         "s_embed_neardup": _S_EMBED_NEARDUP_SQL,
         "s_ann_index": _s_ann_index_sql(),
+        "s_ivf_topk": _s_ann_index_sql(),
         "j_windowed_counts": _J_WINDOW_SQL,
         "t_simhash": _T_SIMHASH_SQL,
         "g7_cc_canonical": _G7_CC_SQL,

@@ -186,14 +186,19 @@ def build_ann_index(
         "sig_bucket"
     ).parquet(path)
     import json
-    import os
 
-    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
-        json.dump(
+    from ..fsio import write_text_file
+
+    # sidecar goes through the Hadoop FS API so it lands next to the
+    # parquet on ANY scheme (hdfs://, s3a://), not the driver's local disk
+    write_text_file(
+        df.sparkSession,
+        path.rstrip("/") + "/_ann_meta.json",
+        json.dumps(
             {"dim": dim, "n_planes": n_planes, "n_bands": n_bands,
-             "vec_col": vec_col, "id_col": id_col},
-            fh,
-        )
+             "vec_col": vec_col, "id_col": id_col}
+        ),
+    )
 
 
 def query_ann_index(
@@ -215,12 +220,12 @@ def query_ann_index(
     bucket plus its 1-bit flips); a vector reached through several bands
     is deduplicated before ranking."""
     import json
-    import os
 
-    meta_path = os.path.join(path, "_ann_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+    from ..fsio import exists, read_text_file
+
+    meta_path = path.rstrip("/") + "/_ann_meta.json"
+    if exists(spark, meta_path):
+        meta = json.loads(read_text_file(spark, meta_path))
         if meta["dim"] != len(query_vec):
             raise ValueError(
                 f"query dim {len(query_vec)} != index dim {meta['dim']}"
@@ -502,6 +507,7 @@ def ivf_topk(
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """IVF search: rank the query against the (driver-side, tiny) centroid
     table, scan ONLY the ``n_probes`` nearest clusters, exact-rank the
@@ -510,7 +516,7 @@ def ivf_topk(
     ALL clusters recovers exact brute-force ranking."""
     probes = _probe_cids(centroids, query_vec, n_probes)
     cand = assigned.filter(F.col("__cid").isin(probes)).drop("__cid")
-    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
 def ivf_write_index(
@@ -518,13 +524,19 @@ def ivf_write_index(
 ) -> None:
     """Materialize the inverted file: parquet PARTITIONED BY cluster id +
     a sidecar with the trained centroids (the index is self-describing,
-    mirroring build_ann_index's metadata contract)."""
+    mirroring build_ann_index's metadata contract). The sidecar is written
+    through the Hadoop FS API so index path and metadata share one
+    filesystem on non-local deployments (ADVICE r4)."""
     assigned.write.mode("overwrite").partitionBy("__cid").parquet(path)
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-        json.dump({"dim": dim, "centroids": centroids}, fh)
+    from ..fsio import write_text_file
+
+    write_text_file(
+        assigned.sparkSession,
+        path.rstrip("/") + "/_ivf_meta.json",
+        json.dumps({"dim": dim, "centroids": centroids}),
+    )
 
 
 def query_ivf_index(
@@ -539,10 +551,10 @@ def query_ivf_index(
     """Probe the materialized inverted file: nearest ``n_probes`` clusters
     from the sidecar centroids, partition-pruned scan, exact rank."""
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_meta.json")) as fh:
-        meta = json.load(fh)
+    from ..fsio import read_text_file
+
+    meta = json.loads(read_text_file(spark, path.rstrip("/") + "/_ivf_meta.json"))
     if meta["dim"] != len(query_vec):
         raise ValueError(f"query dim {len(query_vec)} != index dim {meta['dim']}")
     assigned = spark.read.parquet(path)

@@ -128,13 +128,19 @@ def run_pipeline(
         metrics.elapsed_sec = time.time() - metrics.started_at
         return triples, metrics
 
-    os.makedirs(sink_dir, exist_ok=True)
-    ledger_path = os.path.join(sink_dir, "_ledger.json")
+    # ledger/metrics go through the Hadoop FS API: they must live on the
+    # SAME filesystem as the parquet sink (hdfs://, s3a://) for resume to
+    # see them on a cluster — local open() only works single-node (ADVICE r4)
+    from ..fsio import exists as fs_exists
+    from ..fsio import makedirs as fs_makedirs
+    from ..fsio import read_text_file, write_text_file
+
+    fs_makedirs(spark, sink_dir)
+    ledger_path = sink_dir.rstrip("/") + "/_ledger.json"
     ledger: dict = {"completed_parts": [], "parts": {}}
-    if resume and os.path.exists(ledger_path):
-        with open(ledger_path) as fh:
-            ledger = json.load(fh)
-            ledger.setdefault("parts", {})
+    if resume and fs_exists(spark, ledger_path):
+        ledger = json.loads(read_text_file(spark, ledger_path))
+        ledger.setdefault("parts", {})
     done: set[int] = set(ledger["completed_parts"])
 
     todo = [p for p in range(n_parts) if p not in done]
@@ -167,8 +173,7 @@ def run_pipeline(
             }
         done.update(todo)
         ledger["completed_parts"] = sorted(done)
-        with open(ledger_path, "w") as fh:
-            json.dump(ledger, fh)
+        write_text_file(spark, ledger_path, json.dumps(ledger))
 
     out = spark.read.parquet(os.path.join(sink_dir, "triples"))
     metrics.n_pages = pages.count()
@@ -179,6 +184,5 @@ def run_pipeline(
     if ontology_closed is not None:
         metrics.n_integrity_violations = integrity_check(out, ontology_closed).count()
     metrics.elapsed_sec = time.time() - metrics.started_at
-    with open(os.path.join(sink_dir, "_metrics.json"), "w") as fh:
-        fh.write(metrics.to_json())
+    write_text_file(spark, sink_dir.rstrip("/") + "/_metrics.json", metrics.to_json())
     return out, metrics

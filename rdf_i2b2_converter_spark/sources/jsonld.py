@@ -183,6 +183,14 @@ class _JsonLdParser:
                 obj_iri = self._expand(v, ctx, use_vocab=False)
                 if obj_iri is not None:
                     self.emit(subj, pred, obj_iri)
+            elif coerce == "@vocab":
+                # {"@type": "@vocab"}: string values are vocab-expanded
+                # IRIs, not literals (ADVICE r4 — emitting xsd:string here
+                # silently dropped the coercion semantics); terms with no
+                # definition and no @vocab land in the error scan
+                obj_iri = self._expand(v, ctx, use_vocab=True)
+                if obj_iri is not None:
+                    self.emit(subj, pred, obj_iri)
             elif isinstance(coerce, str) and not coerce.startswith("@"):
                 dt = self._expand(coerce, ctx, use_vocab=True) or coerce
                 self.emit(subj, pred, v, dt)
@@ -257,8 +265,19 @@ def _lex(val) -> str:
 def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     """JSON-LD file(s) -> TRIPLES_RAW(s, p, o, o_datatype, o_lang); one
     whole file per task, per-file bnode namespace — the Turtle document
-    reader's shape. Errors surface via :func:`scan_jsonld_errors`."""
+    reader's shape. Errors surface via :func:`scan_jsonld_errors`.
+
+    Files above the wholetext bound trigger a warning pointing at
+    :func:`read_jsonld_lines` (the line-splittable scale path) — unlike
+    Turtle there is no statement-boundary chunker for a JSON value, so the
+    guard warns instead of auto-chunking (VERDICT r4 #2)."""
     import pandas as pd
+
+    from .rdf import warn_document_mode_size
+
+    warn_document_mode_size(
+        spark, path, "JSON-LD", "read_jsonld_lines (NDJSON, one node object per line)"
+    )
 
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), "value"
@@ -340,7 +359,8 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     from .rdf import RDF_NS as _RDF
     from .rdf import grouped_by_subject
 
-    grouped = grouped_by_subject(triples)
+    cached: list = []
+    grouped = grouped_by_subject(triples, _cache=cached)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,7 +386,13 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
                 lines.append(json.dumps(node, sort_keys=True, ensure_ascii=False))
             yield pd.DataFrame({"value": lines})
 
-    grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+    try:
+        grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+    finally:
+        # unpersist the sink's cached intermediate after the write action
+        # (ADVICE r4: multi-format exports leaked one copy per sink call)
+        for df in cached:
+            df.unpersist()
 
 
 def scan_jsonld_errors(

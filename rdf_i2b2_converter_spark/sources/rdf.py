@@ -45,15 +45,24 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     Scales as a plain text scan: line-splittable, predicate pushdown on the
     regexp filter, no shuffle. Comment/blank lines are dropped, malformed
     lines are surfaced via the companion :func:`scan_errors`. Blank nodes
-    (``_:name``) are carried verbatim as node ids."""
-    return ntriples_from_lines(spark.read.text(path))
+    (``_:name``) are remapped into a per-file namespace
+    (``_:g<md5-64(file)>x<name>``) so ``_:b0`` in two .nt files of a
+    multi-file read never silently merges — the same scoping rule as the
+    Turtle/RDF-XML/JSON-LD readers (ADVICE r4)."""
+    lines = spark.read.text(path).withColumn("__file", F.input_file_name())
+    return ntriples_from_lines(lines, file_col="__file")
 
 
-def ntriples_from_lines(lines: DataFrame) -> DataFrame:
+def ntriples_from_lines(lines: DataFrame, file_col: str | None = None) -> DataFrame:
     """The N-Triples expression plan over any lines DataFrame — pure column
     expressions, so it applies unchanged to a STREAMING lines source
-    (streaming/stream.read_ntriples_stream)."""
+    (streaming/stream.read_ntriples_stream). When ``file_col`` names a
+    provenance column, explicit ``_:label`` bnodes are namespaced per file
+    (md5-64 of the column value, matching :func:`_bnode_seed`); without it
+    labels are carried verbatim (single-file / socket-stream semantics)."""
+    carry = [F.col(file_col)] if file_col is not None else []
     parsed = lines.select(
+        *carry,
         F.regexp_extract("value", _NT_RE, 1).alias("s_iri"),
         F.regexp_extract("value", _NT_RE, 2).alias("s_blank"),
         F.regexp_extract("value", _NT_RE, 3).alias("p"),
@@ -79,11 +88,22 @@ def ntriples_from_lines(lines: DataFrame) -> DataFrame:
     unescaped = F.regexp_replace(unescaped, r"\\t", "\t")
     unescaped = F.regexp_replace(unescaped, _sent, r"\\")
     is_res = (F.col("o_iri") != "") | (F.col("o_blank") != "")
+    if file_col is not None:
+        # _:name -> _:g<seed>x<name>, seed = md5(file)[:16] (= _bnode_seed)
+        _seeded = lambda c: F.concat(  # noqa: E731
+            F.lit("_:g"),
+            F.md5(F.col(file_col)).substr(1, 16),
+            F.lit("x"),
+            F.expr(f"substring({c}, 3)"),
+        )
+        s_blank, o_blank = _seeded("s_blank"), _seeded("o_blank")
+    else:
+        s_blank, o_blank = F.col("s_blank"), F.col("o_blank")
     return parsed.select(
-        F.when(F.col("s_iri") != "", F.col("s_iri")).otherwise(F.col("s_blank")).alias("s"),
+        F.when(F.col("s_iri") != "", F.col("s_iri")).otherwise(s_blank).alias("s"),
         F.col("p"),
         F.when(F.col("o_iri") != "", F.col("o_iri"))
-        .when(F.col("o_blank") != "", F.col("o_blank"))
+        .when(F.col("o_blank") != "", o_blank)
         .otherwise(unescaped)
         .alias("o"),
         F.when(is_res, F.lit(None).cast("string"))
@@ -1071,12 +1091,14 @@ class _RdfXmlParser:
             for k, v in nattrs.items():
                 if k in _RDFXML_SYNTAX_ATTRS or k.startswith(_XML_NS) or " " in k:
                     continue
+                if k == RDF_NS + "type":
+                    # must precede the colon skip: RDF_NS+'type' strips to a
+                    # colon-free 'type' and would be dropped (ADVICE r4)
+                    self.emit(subj, RDF_NS + "type", _resolve_against(base, v))
+                    continue
                 if ":" not in k.replace(RDF_NS, ""):  # un-namespaced attr: skip
                     continue
-                if k == RDF_NS + "type":
-                    self.emit(subj, RDF_NS + "type", _resolve_against(base, v))
-                else:
-                    self.emit(subj, k, v, _PLAIN, lang)
+                self.emit(subj, k, v, _PLAIN, lang)
             # link into the enclosing property
             if parent["kind"] == "prop":
                 if parent.get("collection") is not None:
@@ -1144,7 +1166,7 @@ class _RdfXmlParser:
             for k, v in nattrs.items()
             if k not in _RDFXML_SYNTAX_ATTRS
             and not k.startswith(_XML_NS)
-            and ":" in k.replace(RDF_NS, "")
+            and (k == RDF_NS + "type" or ":" in k.replace(RDF_NS, ""))
         ]
         frame["at"] = at
         self.stack.append(frame)
@@ -1187,7 +1209,14 @@ class _RdfXmlParser:
                 if frame.get("obj") is not None:
                     # rdf:resource/rdf:nodeID shortcut: attrs describe it
                     for k, v in attrs:
-                        self.emit(frame["obj"], k, v, _PLAIN, frame.get("lang"))
+                        if k == RDF_NS + "type":
+                            self.emit(
+                                frame["obj"],
+                                k,
+                                _resolve_against(frame.get("base"), v),
+                            )
+                        else:
+                            self.emit(frame["obj"], k, v, _PLAIN, frame.get("lang"))
                 else:  # a node-element child supplied the object
                     self._err("property attributes plus element content; attrs dropped")
             return
@@ -1201,7 +1230,12 @@ class _RdfXmlParser:
                 b = self._bnode(frame["at"])
                 self.emit(frame["subj"], frame["pred"], b)
                 for k, v in attrs:
-                    self.emit(b, k, v, _PLAIN, frame.get("lang"))
+                    if k == RDF_NS + "type":
+                        self.emit(
+                            b, k, _resolve_against(frame.get("base"), v)
+                        )
+                    else:
+                        self.emit(b, k, v, _PLAIN, frame.get("lang"))
                 return
         if frame["dt"] is not None:
             self.emit(frame["subj"], frame["pred"], text, frame["dt"], None)
@@ -1375,6 +1409,30 @@ def turtle_doc_chunk_bytes(spark: SparkSession, path: str) -> int | None:
     return None
 
 
+def warn_document_mode_size(
+    spark: SparkSession, path: str, what: str, alternative: str
+) -> bool:
+    """Shared wholetext-size guard for document readers WITHOUT a chunker
+    (JSON-LD — a JSON splitter does not exist the way the Turtle
+    statement-boundary one does): estimate the biggest input file's
+    decompressed size and warn above the bound, pointing at the
+    line-splittable alternative (VERDICT r4 #2 — a 1 GiB .jsonld was one
+    silent task). Returns True when the warning fired."""
+    biggest, _count, compressed = _input_files_stats(spark, path)
+    est = biggest * (_COMPRESSION_EXPANSION_GUESS if compressed else 1)
+    if est > _TTL_DOC_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"a {what} input file is ~{est >> 20} MiB decompressed; document "
+            "mode holds each whole file in one task (wholetext) with no "
+            f"chunking. For scale prefer {alternative}.",
+            stacklevel=3,
+        )
+        return True
+    return False
+
+
 def _should_respread(spark: SparkSession, path: str) -> bool:
     """Line-oriented reads over gzip/zstd inputs decompress ONE TASK PER
     FILE (unsplittable codecs) — a giant single .nt.gz would otherwise
@@ -1428,10 +1486,10 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         else "parquet"
     )
     if fmt == "ntriples":
-        lines = spark.read.text(path)
+        lines = spark.read.text(path).withColumn("__file", F.input_file_name())
         if _should_respread(spark, path):
             lines = lines.repartition(spark.sparkContext.defaultParallelism)
-        return ntriples_from_lines(lines)
+        return ntriples_from_lines(lines, file_col="__file")
     if fmt == "turtle":
         return read_turtle(spark, path, chunk_bytes=turtle_doc_chunk_bytes(spark, path))
     if fmt == "turtle-lines":
@@ -1526,7 +1584,11 @@ def _render_object(prefixes: dict[str, str] | None) -> Column:
     return F.when(dt.isNull(), _render_resource(F.col("o"), prefixes)).otherwise(lit)
 
 
-def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+def triples_to_turtle(
+    triples: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    _cache: list | None = None,
+) -> DataFrame:
     """TRIPLES(s, p, o, o_datatype, o_lang) -> one Turtle statement line per
     subject: predicates joined with ' ;', objects with ', ', 'a' for
     rdf:type — the compact rdflib-serialization shape (the reference
@@ -1537,10 +1599,17 @@ def triples_to_turtle(triples: DataFrame, prefixes: dict[str, str] | None = None
     any parallelism. Prefix COMPACTION happens here; the @prefix header is
     prepended per output file by :func:`write_turtle`. Statements for
     subjects CONNECTED THROUGH BLANK NODES are co-partitioned (same
-    part-file — labels are document-scoped on re-read, review r4)."""
+    part-file — labels are document-scoped on re-read, review r4).
+
+    Caching: the colocation probe forces a persist of the normalized
+    triples. ``write_turtle`` unpersists it after the write (ADVICE r4);
+    direct callers receive the handle via ``_cache`` (a list the persisted
+    frame is appended to) or must accept a session-lifetime cached copy."""
     # persist: the colocation branch probes this frame before the write
     # job scans the rendered lines — avoids recomputing the upstream plan
     triples = normalize_triples_schema(triples).persist()
+    if _cache is not None:
+        _cache.append(triples)
     rdf_type = F.col("p").isin("rdf:type", RDF_NS + "type")
     rendered = triples.select(
         F.col("s"),
@@ -1583,23 +1652,30 @@ def write_turtle(
     With ``prefixes`` every output part-file gets its own ``@prefix``
     header (each file must be self-contained Turtle), prepended by a thin
     ``mapInPandas`` pass over the already-rendered statement lines."""
-    lines = triples_to_turtle(triples, prefixes)
-    if not prefixes:
-        lines.write.mode(mode).text(path)
-        return
-    import pandas as pd
+    cached: list = []
+    lines = triples_to_turtle(triples, prefixes, _cache=cached)
+    try:
+        if not prefixes:
+            lines.write.mode(mode).text(path)
+            return
+        import pandas as pd
 
-    header = [f"@prefix {p}: <{iri}> ." for p, iri in sorted(prefixes.items())]
+        header = [f"@prefix {p}: <{iri}> ." for p, iri in sorted(prefixes.items())]
 
-    def add_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        first = True
-        for pdf in batches:
-            if first and len(pdf):
-                yield pd.DataFrame({"value": header})
-                first = False
-            yield pdf
+        def add_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            first = True
+            for pdf in batches:
+                if first and len(pdf):
+                    yield pd.DataFrame({"value": header})
+                    first = False
+                yield pdf
 
-    lines.mapInPandas(add_header, schema="value string").write.mode(mode).text(path)
+        lines.mapInPandas(add_header, schema="value string").write.mode(mode).text(path)
+    finally:
+        # the persist only had to live until the write action (ADVICE r4:
+        # multi-format exports were leaking one cached copy per sink call)
+        for df in cached:
+            df.unpersist()
 
 
 _NCNAME_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
@@ -1620,7 +1696,9 @@ def normalize_triples_schema(triples: DataFrame) -> DataFrame:
     return triples
 
 
-def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> DataFrame:
+def grouped_by_subject(
+    triples: DataFrame, colocate_bnodes: bool = True, _cache: list | None = None
+) -> DataFrame:
     """Shared document-sink preamble: normalize (idempotent), aggregate one
     row per subject with a deterministic sorted (p, o, o_datatype, o_lang)
     list — a JVM ``collect_list`` (map-side combinable, subject-sized
@@ -1636,7 +1714,9 @@ def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> Data
     edge sets resolve driver-side inside connected_components) gives each
     bnode cluster one partition key; bnode-free subjects hash freely.
     Used by :func:`write_rdfxml`, :func:`triples_to_turtle` and
-    jsonld.write_jsonld."""
+    jsonld.write_jsonld — those sinks unpersist the cached intermediate
+    after their write via ``_cache`` (ADVICE r4); direct callers receive
+    the handle the same way or accept a session-lifetime cached copy."""
     triples = normalize_triples_schema(triples)
     # persist: the colocation branch probes this frame (emptiness + CC
     # edges) before the caller's write job scans it — without caching the
@@ -1644,6 +1724,8 @@ def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> Data
     grouped = triples.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("p", "o", "o_datatype", "o_lang"))).alias("po")
     ).persist()
+    if _cache is not None:
+        _cache.append(grouped)
     if not colocate_bnodes:
         return grouped
     t = F.explode("po").alias("t")
@@ -1655,21 +1737,23 @@ def grouped_by_subject(triples: DataFrame, colocate_bnodes: bool = True) -> Data
     return _colocate_by_bnode_cluster(grouped, bn_edges)
 
 
-def _colocate_by_bnode_cluster(frame: DataFrame, bn_edges: DataFrame) -> DataFrame:
-    """Repartition ``frame`` (keyed by column ``s``) so every group of
-    subjects connected through blank-node links (``bn_edges``: src_id,
-    dst_id) shares one partition — one part-file under ``df.write``.
-    No-op when there are no bnode links."""
+def _colocate_by_bnode_cluster(
+    frame: DataFrame, bn_edges: DataFrame, key_col: str = "s"
+) -> DataFrame:
+    """Repartition ``frame`` (keyed by its subject column ``key_col``) so
+    every group of subjects connected through blank-node links
+    (``bn_edges``: src_id, dst_id) shares one partition — one part-file
+    under ``df.write``. No-op when there are no bnode links."""
     if bn_edges.isEmpty():
         return frame
     from ..operators.canonicalize import connected_components
 
     comp = connected_components(bn_edges).withColumnsRenamed(
-        {"id": "s", "component": "__filekey"}
+        {"id": key_col, "component": "__filekey"}
     )
     return (
-        frame.join(comp, "s", "left")
-        .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col("s")))
+        frame.join(comp, key_col, "left")
+        .withColumn("__filekey", F.coalesce(F.col("__filekey"), F.col(key_col)))
         .repartition(F.col("__filekey"))
         .drop("__filekey")
     )
@@ -1724,7 +1808,8 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         if ns != RDF_NS:
             ns_map.setdefault(ns, f"ns{len(ns_map) + 1}")
 
-    grouped = grouped_by_subject(triples)
+    cached: list = []
+    grouped = grouped_by_subject(triples, _cache=cached)
     xmlns = "".join(
         f'\n         xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_map.items(), key=lambda kv: kv[1])
     )
@@ -1777,12 +1862,36 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         yield pd.DataFrame({"value": [header] if not emitted_header else []})
         yield pd.DataFrame({"value": ["</rdf:RDF>"]})
 
-    grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+    try:
+        grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
-def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    colocate_bnodes: bool = True,
+) -> None:
     """TRIPLES -> N-Triples text files (the rdflib serialization analog).
-    Uses operators/emit.triples_to_ntriples for escaping."""
+    Uses operators/emit.triples_to_ntriples for escaping.
+
+    N-Triples scopes ``_:`` labels per document (= per part-file on
+    re-read, matching the per-file remap in :func:`read_ntriples`), so by
+    default rows connected through blank nodes are co-located into one
+    part-file — the same severed-link guard as the document sinks.
+    Pipelines that mint IRIs only (the KG emission path has no bnodes)
+    can pass ``colocate_bnodes=False`` to skip the emptiness probe."""
     from ..operators.emit import triples_to_ntriples
 
+    if colocate_bnodes:
+        s_col = "subj" if "subj" in triples.columns else "s"
+        o_col = "obj" if "obj" in triples.columns else "o"
+        dt_col = "obj_datatype" if "obj_datatype" in triples.columns else "o_datatype"
+        bn_edges = triples.filter(
+            F.col(dt_col).isNull() & F.col(o_col).startswith("_:")
+        ).select(F.col(s_col).alias("src_id"), F.col(o_col).alias("dst_id"))
+        triples = _colocate_by_bnode_cluster(triples, bn_edges, key_col=s_col)
     triples_to_ntriples(triples).write.mode(mode).text(path)

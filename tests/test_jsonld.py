@@ -236,12 +236,13 @@ def test_jsonld_native_scalar_coercion(spark, tmp_path):
 
 
 def test_jsonld_keyword_type_mapping_not_a_datatype(spark, tmp_path):
-    """Review r4: '@type': '@none' / '@vocab' term mappings are keyword
-    mappings, not datatype coercions — native and string values keep
-    their natural typing instead of a literal '@none' datatype."""
+    """Review r4 + ADVICE r4: '@type' KEYWORD mappings are never datatype
+    coercions — '@none' keeps natural typing, '@vocab' (with a vocabulary
+    in scope) expands string values to IRIs; neither ever stamps the
+    keyword itself as a datatype."""
     f = tmp_path / "kw.jsonld"
     f.write_text(
-        '{"@context": {"ex": "http://e/",'
+        '{"@context": {"ex": "http://e/", "@vocab": "http://voc.org/",'
         ' "flag": {"@id": "ex:flag", "@type": "@none"},'
         ' "note": {"@id": "ex:note", "@type": "@vocab"}},'
         ' "@id": "ex:a", "flag": true, "note": "hello"}'
@@ -249,5 +250,71 @@ def test_jsonld_keyword_type_mapping_not_a_datatype(spark, tmp_path):
     rows = {(r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(f)).collect()}
     XSD = "http://www.w3.org/2001/XMLSchema#"
     assert ("http://e/flag", "true", f"{XSD}boolean") in rows
-    assert ("http://e/note", "hello", "xsd:string") in rows
+    assert ("http://e/note", "http://voc.org/hello", None) in rows
     assert not any(dt and dt.startswith("@") for (_p, _o, dt) in rows)
+
+
+def test_jsonld_vocab_coercion(spark, tmp_path):
+    """ADVICE r4: {"@type": "@vocab"} coerces string values to
+    vocab-expanded IRIs, not xsd:string literals; a context-defined term
+    value resolves through its definition first (JSON-LD @vocab rules)."""
+    f = tmp_path / "vocab.jsonld"
+    f.write_text(
+        '{"@context": {"@vocab": "http://voc.org/",'
+        ' "role": {"@id": "http://ex.org/role", "@type": "@vocab"},'
+        ' "boss": "http://ex.org/Boss"},'
+        ' "@id": "http://ex.org/a", "role": ["admin", "boss"]}'
+    )
+    rows = {
+        (r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(f)).collect()
+    }
+    assert ("http://ex.org/role", "http://voc.org/admin", None) in rows
+    assert ("http://ex.org/role", "http://ex.org/Boss", None) in rows
+    # native scalars under @vocab stay native literals (spec)
+    g = tmp_path / "vocab2.jsonld"
+    g.write_text(
+        '{"@context": {"@vocab": "http://voc.org/",'
+        ' "role": {"@id": "http://ex.org/role", "@type": "@vocab"}},'
+        ' "@id": "http://ex.org/b", "role": 5}'
+    )
+    rows2 = {
+        (r["p"], r["o"], r["o_datatype"]) for r in read_jsonld(spark, str(g)).collect()
+    }
+    assert ("http://ex.org/role", "5", XSD + "integer") in rows2
+
+
+def test_jsonld_vocab_coercion_without_vocab_surfaces_error(spark, tmp_path):
+    """A @vocab-coerced term with NO @vocab in scope cannot expand — the
+    dropped value must land in the error scan, not silently vanish."""
+    f = tmp_path / "novocab.jsonld"
+    f.write_text(
+        '{"@context": {"role": {"@id": "http://ex.org/role", "@type": "@vocab"}},'
+        ' "@id": "http://ex.org/a", "role": "admin"}'
+    )
+    assert read_jsonld(spark, str(f)).filter("p = 'http://ex.org/role'").count() == 0
+    errs = scan_jsonld_errors(spark, str(f)).collect()
+    assert any("no @vocab" in r["error"] for r in errs)
+
+
+def test_read_jsonld_warns_on_giant_document(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #2: document mode has no JSON chunker, so above the
+    wholetext bound it must WARN and point at read_jsonld_lines."""
+    import warnings as w
+
+    import rdf_i2b2_converter_spark.sources.rdf as rdfmod
+
+    f = tmp_path / "big.jsonld"
+    f.write_text(
+        '[{"@id": "http://e/a", "http://e/p": "' + "x" * 500 + '"}]'
+    )
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", 100)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        df = read_jsonld(spark, str(f))
+        assert any("read_jsonld_lines" in str(c.message) for c in caught)
+    assert df.count() == 1
+    monkeypatch.setattr(rdfmod, "_TTL_DOC_WARN_BYTES", 10**9)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        read_jsonld(spark, str(f)).count()
+        assert not any("read_jsonld_lines" in str(c.message) for c in caught)

@@ -172,6 +172,9 @@ def test_turtle_ntriples_equivalence(spark, tmp_path):
 
 
 def test_blank_node_ntriples_roundtrip(spark, tmp_path):
+    """Labels are file-scoped on re-read (ADVICE r4 remap), so the
+    round-trip preserves bnode STRUCTURE — same node on both sides of the
+    link — not the literal label."""
     triples = spark.createDataFrame(
         [
             ("_:bn1", "kg:partOf", "kg:whole", None, None, 0),
@@ -183,7 +186,50 @@ def test_blank_node_ntriples_roundtrip(spark, tmp_path):
     write_ntriples(triples, out)
     back = read_ntriples(spark, out)
     got = {(r["s"], r["p"], r["o"]) for r in back.collect()}
-    assert got == {("_:bn1", "kg:partOf", "kg:whole"), ("kg:whole", "kg:hasPart", "_:bn1")}
+    assert _norm_bnodes((s, p, o) for (s, p, o) in got) == _norm_bnodes(
+        [("_:bn1", "kg:partOf", "kg:whole"), ("kg:whole", "kg:hasPart", "_:bn1")]
+    )
+    subj_bn = next(s for (s, p, o) in got if p == "kg:partOf")
+    obj_bn = next(o for (s, p, o) in got if p == "kg:hasPart")
+    assert subj_bn == obj_bn and subj_bn.startswith("_:")
+
+
+def test_ntriples_bnodes_scoped_per_file(spark, tmp_path):
+    """ADVICE r4: `_:b0` in two different .nt files of one multi-file read
+    must NOT merge; the two lines of ONE file sharing `_:b0` must."""
+    d = tmp_path / "many_nt"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        '_:b0 <http://e/name> "from-a" .\n_:b0 <http://e/src> "a" .\n'
+    )
+    (d / "b.nt").write_text('_:b0 <http://e/name> "from-b" .\n')
+    rows = read_ntriples(spark, str(d)).collect()
+    by_o = {r["o"]: r["s"] for r in rows if r["p"] == "http://e/name"}
+    assert by_o["from-a"] != by_o["from-b"], "cross-file _:b0 silently merged"
+    src_s = next(r["s"] for r in rows if r["p"] == "http://e/src")
+    assert src_s == by_o["from-a"], "within-file _:b0 must stay one node"
+
+
+def test_write_ntriples_colocates_bnode_links(spark, tmp_path):
+    """With per-file label scoping, a bnode link split across part-files
+    would come back severed — the writer must co-locate the cluster
+    (same guard as the document sinks)."""
+    E = "http://e/"
+    rows = []
+    for i in range(12):
+        rows.append((f"{E}a{i}", f"{E}knows", f"_:u{i}", None, None, 0))
+        rows.append((f"_:u{i}", f"{E}code", f"m{i}", "xsd:string", None, 0))
+        rows.append((f"{E}free{i}", f"{E}p", f"v{i}", "xsd:string", None, 0))
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_datatype string, o_lang string, part_id int",
+    ).repartition(8)
+    out = str(tmp_path / "nt_co")
+    write_ntriples(df, out)
+    got = {(r["s"], r["p"], r["o"]) for r in read_ntriples(spark, out).collect()}
+    for i in range(12):
+        ref = next(o for (s, p, o) in got if s == f"{E}a{i}" and p == f"{E}knows")
+        assert (ref, f"{E}code", f"m{i}") in got, (i, ref)
 
 
 def test_turtle_no_space_before_terminator(spark, tmp_path):
@@ -1082,3 +1128,62 @@ def test_respread_skipped_for_many_file_compressed_corpus(spark, tmp_path):
         df = read_rdf(spark, str(d) + "/*.nt.gz")
         assert not any("unsplittable" in str(c.message) for c in caught)
     assert df.count() == n
+
+
+def test_rdfxml_rdf_type_property_attribute(spark, tmp_path):
+    """ADVICE r4 (medium): an rdf:type PROPERTY ATTRIBUTE strips to a
+    colon-free 'type' and was swallowed by the un-namespaced-attr skip —
+    no triple, no recorded error. All three attr sites must emit it as a
+    base-resolved resource triple: node elements, empty property elements
+    (implicit bnode), and the rdf:resource shortcut."""
+    f = tmp_path / "typeattr.rdf"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://ex.org/">\n'
+        '  <rdf:Description rdf:about="http://ex.org/n1"'
+        ' rdf:type="http://ex.org/Nation"/>\n'
+        '  <rdf:Description rdf:about="http://ex.org/n2">\n'
+        '    <ex:capital rdf:type="http://ex.org/City" ex:name="Bern"/>\n'
+        '    <ex:ally rdf:resource="http://ex.org/n3"'
+        ' rdf:type="http://ex.org/Nation"/>\n'
+        "  </rdf:Description>\n"
+        "</rdf:RDF>\n"
+    )
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdfxml, scan_rdfxml_errors
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = {(r["s"], r["p"], r["o"]) for r in read_rdfxml(spark, str(f)).collect()}
+    assert ("http://ex.org/n1", f"{RDF_NS}type", "http://ex.org/Nation") in rows
+    # empty property element: implicit bnode typed + named
+    cap = next(o for (s, p, o) in rows if p == "http://ex.org/capital")
+    assert cap.startswith("_:")
+    assert (cap, f"{RDF_NS}type", "http://ex.org/City") in rows
+    assert (cap, "http://ex.org/name", "Bern") in rows
+    # rdf:resource shortcut: attrs (incl. rdf:type) describe the object
+    assert ("http://ex.org/n3", f"{RDF_NS}type", "http://ex.org/Nation") in rows
+    assert scan_rdfxml_errors(spark, str(f)).count() == 0
+
+
+def test_document_sinks_unpersist_after_write(spark, tmp_path):
+    """ADVICE r4: each sink invocation persisted an intermediate and never
+    released it — exporting one corpus to three formats leaked three cached
+    copies for the session. After the writes, no net-new persistent RDDs."""
+    from rdf_i2b2_converter_spark.sources.jsonld import write_jsonld
+    from rdf_i2b2_converter_spark.sources.rdf import write_rdfxml, write_turtle
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/a", "http://e/p", "x", "xsd:string", None),
+            ("http://e/a", "http://e/q", "http://e/b", None, None),
+        ],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    write_turtle(df, str(tmp_path / "t"), prefixes={"e": "http://e/"})
+    write_rdfxml(df, str(tmp_path / "x"))
+    write_jsonld(df, str(tmp_path / "j"))
+    # <= not ==: the ContextCleaner may concurrently GC unrelated RDDs
+    # left by earlier tests; the leak under test would make this GROW by 3
+    assert jsc.getPersistentRDDs().size() <= before
