@@ -342,6 +342,35 @@ def read_jsonld_lines(
     return lines.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
 
 
+def render_node_line(s: str, po: list[tuple]) -> str:
+    """One subject + its (p, o, o_datatype, o_lang) rows -> one NDJSON-LD
+    node-object line (pure function — the write_jsonld render body,
+    extracted so the write->read contract is property-testable without
+    Spark). Resources (o_datatype NULL) become {"@id": ...}; plain
+    literals bare strings; lang/typed literals @value objects; rdf:type
+    goes to "@type"."""
+    from .rdf import PLAIN_DATATYPES as plain
+    from .rdf import RDF_NS as _RDF
+
+    node: dict = {"@id": s}
+    for p, o, dt, lang in po:
+        if p in (_RDF + "type", "rdf:type", "a"):
+            node.setdefault("@type", []).append(o)
+            continue
+        if dt is None:
+            v = {"@id": o}
+        elif dt in plain:
+            v = {"@value": o, "@language": lang} if lang else o
+        else:
+            v = {"@value": o, "@type": dt}
+        if p in node:
+            prev = node[p]
+            node[p] = prev + [v] if isinstance(prev, list) else [prev, v]
+        else:
+            node[p] = v
+    return json.dumps(node, sort_keys=True, ensure_ascii=False)
+
+
 def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """TRIPLES -> NDJSON-LD text files: one self-contained node object per
     line (exactly what :func:`read_jsonld_lines` consumes — write/read
@@ -355,8 +384,6 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     @value objects; rdf:type goes to "@type"."""
     import pandas as pd
 
-    from .rdf import PLAIN_DATATYPES as plain
-    from .rdf import RDF_NS as _RDF
     from .rdf import grouped_by_subject
 
     cached: list = []
@@ -364,26 +391,13 @@ def write_jsonld(triples: DataFrame, path: str, mode: str = "overwrite") -> None
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lines: list[str] = []
-            for s, po in zip(pdf["s"], pdf["po"]):
-                node: dict = {"@id": s}
-                for row in po:
-                    p, o, dt, lang = row["p"], row["o"], row["o_datatype"], row["o_lang"]
-                    if p in (_RDF + "type", "rdf:type", "a"):
-                        node.setdefault("@type", []).append(o)
-                        continue
-                    if dt is None:
-                        v = {"@id": o}
-                    elif dt in plain:
-                        v = {"@value": o, "@language": lang} if lang else o
-                    else:
-                        v = {"@value": o, "@type": dt}
-                    if p in node:
-                        prev = node[p]
-                        node[p] = prev + [v] if isinstance(prev, list) else [prev, v]
-                    else:
-                        node[p] = v
-                lines.append(json.dumps(node, sort_keys=True, ensure_ascii=False))
+            lines = [
+                render_node_line(
+                    s,
+                    [(r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in po],
+                )
+                for s, po in zip(pdf["s"], pdf["po"])
+            ]
             yield pd.DataFrame({"value": lines})
 
     try:

@@ -1777,6 +1777,44 @@ def _split_pred_iri(iri: str) -> tuple[str, str]:
     return ns, local
 
 
+def render_description(s: str, po: list[tuple], ns_map: dict[str, str]) -> str:
+    """One subject + its (p, o, o_datatype, o_lang) rows -> one
+    ``rdf:Description`` element (pure function — the write_rdfxml render
+    body, extracted so the write->read contract is property-testable
+    without Spark). ``ns_map``: namespace IRI -> xmlns prefix for every
+    non-rdf predicate namespace (see write_rdfxml)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    s = s.translate(_XML_ILLEGAL)
+    sub = (
+        f"rdf:nodeID={quoteattr(s[2:])}" if s.startswith("_:")
+        else f"rdf:about={quoteattr(s)}"
+    )
+    lines = [f"  <rdf:Description {sub}>"]
+    for p, o, dt, lang in po:
+        full = RDF_NS + "type" if p in ("rdf:type", "a") else p
+        ns, local = _split_pred_iri(full)
+        tag = f"rdf:{local}" if ns == RDF_NS else f"{ns_map[ns]}:{local}"
+        o = o.translate(_XML_ILLEGAL)  # XML 1.0 cannot carry C0
+        dt = dt.translate(_XML_ILLEGAL) if dt is not None else None
+        lang = lang.translate(_XML_ILLEGAL) if lang is not None else None
+        if dt is None:  # resource object (reader convention)
+            ref = (
+                f"rdf:nodeID={quoteattr(o[2:])}" if o.startswith("_:")
+                else f"rdf:resource={quoteattr(o)}"
+            )
+            lines.append(f"    <{tag} {ref}/>")
+        elif dt in PLAIN_DATATYPES:
+            la = f" xml:lang={quoteattr(lang)}" if lang else ""
+            lines.append(f"    <{tag}{la}>{escape(o)}</{tag}>")
+        else:
+            lines.append(
+                f"    <{tag} rdf:datatype={quoteattr(dt)}>{escape(o)}</{tag}>"
+            )
+    lines.append("  </rdf:Description>")
+    return "\n".join(lines)
+
+
 def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """TRIPLES -> RDF/XML text files: one self-contained ``<rdf:RDF>``
     document per part-file, one ``rdf:Description`` per subject.
@@ -1797,7 +1835,7 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     normalization). Literals needing byte-exact round-trips belong in the
     N-Triples/Turtle sinks, which escape control characters."""
     import pandas as pd
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import quoteattr
 
     triples = normalize_triples_schema(triples)  # once; grouped_by_subject is idempotent
     preds = [r["p"] for r in triples.select("p").distinct().collect()]
@@ -1822,40 +1860,16 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
             if not emitted_header and len(pdf):
                 out.append(header)
                 emitted_header = True
+            # every attribute/text slot gets the C0 substitution inside
+            # render_description, not just the object — a control char in
+            # a subject IRI, bnode label, datatype, or lang tag would
+            # invalidate the whole part-file just the same (review r4)
             for s, po in zip(pdf["s"], pdf["po"]):
-                # every attribute/text slot gets the C0 substitution, not
-                # just the object — a control char in a subject IRI, bnode
-                # label, datatype, or lang tag would invalidate the whole
-                # part-file just the same (review r4)
-                s = s.translate(_XML_ILLEGAL)
-                sub = (
-                    f"rdf:nodeID={quoteattr(s[2:])}" if s.startswith("_:")
-                    else f"rdf:about={quoteattr(s)}"
-                )
-                lines = [f"  <rdf:Description {sub}>"]
-                for row in po:
-                    p, o, dt, lang = row["p"], row["o"], row["o_datatype"], row["o_lang"]
-                    full = RDF_NS + "type" if p in ("rdf:type", "a") else p
-                    ns, local = _split_pred_iri(full)
-                    tag = f"rdf:{local}" if ns == RDF_NS else f"{ns_map[ns]}:{local}"
-                    o = o.translate(_XML_ILLEGAL)  # XML 1.0 cannot carry C0
-                    dt = dt.translate(_XML_ILLEGAL) if dt is not None else None
-                    lang = lang.translate(_XML_ILLEGAL) if lang is not None else None
-                    if dt is None:  # resource object (reader convention)
-                        ref = (
-                            f"rdf:nodeID={quoteattr(o[2:])}" if o.startswith("_:")
-                            else f"rdf:resource={quoteattr(o)}"
-                        )
-                        lines.append(f"    <{tag} {ref}/>")
-                    elif dt in PLAIN_DATATYPES:
-                        la = f" xml:lang={quoteattr(lang)}" if lang else ""
-                        lines.append(f"    <{tag}{la}>{escape(o)}</{tag}>")
-                    else:
-                        lines.append(
-                            f"    <{tag} rdf:datatype={quoteattr(dt)}>{escape(o)}</{tag}>"
-                        )
-                lines.append("  </rdf:Description>")
-                out.append("\n".join(lines))
+                out.append(render_description(
+                    s,
+                    [(r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in po],
+                    ns_map,
+                ))
             yield pd.DataFrame({"value": out})
         # every part-file must close its document; an empty partition
         # yields a bare (valid) empty rdf:RDF element

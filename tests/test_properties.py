@@ -317,7 +317,9 @@ def test_turtle_writer_roundtrip_property(triples):
         min_size=2,
         max_size=12,
     ),
-    target=st.integers(20, 200),
+    # 1 byte (every statement its own chunk) through far-beyond-file-size
+    # (one chunk, = whole-document parse) — VERDICT r4 #8 adversarial range
+    target=st.integers(1, 5000),
 )
 @settings(max_examples=100, deadline=None)
 def test_chunked_parse_equals_whole_property(stmts, target):
@@ -486,3 +488,289 @@ def test_jsonld_roundtrip_property(props):
     p.document(_json.dumps(obj))
     assert p.errors == [], p.errors
     assert set(p.rows) == expected
+
+
+# ----------------------------------------------- RDF/XML writer + fuzzing
+
+def _norm_bn(rows):
+    """Canonical bnode renaming over 5-tuple rows (labels are
+    document-scoped; readers remap them per file)."""
+    mapping: dict[str, str] = {}
+
+    def m(v):
+        if isinstance(v, str) and v.startswith("_:"):
+            return mapping.setdefault(v, f"_:B{len(mapping)}")
+        return v
+
+    key = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+    return sorted((tuple(m(v) for v in r) for r in sorted(rows, key=key)), key=key)
+
+
+# XML 1.0 cannot carry C0 (except tab/LF/CR) and normalizes \r\n -> \n;
+# the writer documents both caveats, so the strategy stays inside them
+_xmltext = st.text(
+    alphabet=st.characters(
+        blacklist_characters="".join(chr(c) for c in range(0x20)) + "\r",
+        blacklist_categories=("Cs",),
+    ),
+    max_size=20,
+)
+
+_wr_triple = st.tuples(
+    st.one_of(
+        st.integers(0, 9).map(lambda i: f"http://e/s{i}"),
+        st.integers(0, 4).map(lambda i: f"_:b{i}"),
+    ),
+    st.integers(0, 9),
+    st.one_of(
+        st.integers(0, 9).map(lambda i: (f"http://e/o{i}", None, None)),     # resource
+        st.integers(0, 4).map(lambda i: (f"_:b{i}", None, None)),            # bnode ref
+        _xmltext.map(lambda t: (t, "xsd:string", None)),                      # plain
+        st.tuples(_xmltext, st.sampled_from(["en", "fr"])).map(
+            lambda p: (p[0], "xsd:string", p[1])
+        ),                                                                    # lang
+        _xmltext.map(
+            lambda t: (t, "http://www.w3.org/2001/XMLSchema#token", None)
+        ),                                                                    # typed
+    ),
+)
+
+
+@given(triples=st.lists(_wr_triple, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_rdfxml_writer_roundtrip_property(triples):
+    """VERDICT r4 #3: ANY triple set -> render_description (the
+    write_rdfxml body) -> expat reader = the same set (bnode labels
+    normalized, plain spellings collapse to the sentinel). This is the
+    pure-Python mirror of the Spark write->read round-trip, so Hypothesis
+    can hammer the escaping/label corners the example tests miss."""
+    from rdf_i2b2_converter_spark.sources.rdf import (
+        _PLAIN,
+        _RdfXmlParser,
+        render_description,
+    )
+
+    rows = [(s, f"http://e/p{pi}", o, dt, lang) for s, pi, (o, dt, lang) in triples]
+    by_subj: dict[str, list] = {}
+    for s, p, o, dt, lang in rows:
+        by_subj.setdefault(s, []).append((p, o, dt, lang))
+    doc = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:ns1="http://e/">',
+    ]
+    for s, po in by_subj.items():
+        doc.append(render_description(s, po, {"http://e/": "ns1"}))
+    doc.append("</rdf:RDF>")
+    p = _RdfXmlParser(bnode_ns="W").parse("\n".join(doc))
+    assert p.errors == [], (p.errors, "\n".join(doc))
+    expected = {
+        (s, pr, o, _PLAIN if dt == "xsd:string" else dt, lang)
+        for s, pr, o, dt, lang in rows
+    }
+    assert _norm_bn(set(p.rows)) == _norm_bn(expected), "\n".join(doc)
+
+
+@given(data=st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_rdfxml_parser_never_raises_property(data):
+    """Malformed-input contract: the expat reader NEVER raises — parse
+    errors are recorded fail-soft and every emitted row is well-typed."""
+    from rdf_i2b2_converter_spark.sources.rdf import _RdfXmlParser
+
+    p = _RdfXmlParser(bnode_ns="F").parse(data)
+    for s, pr, o, dt, lang in p.rows:
+        assert isinstance(s, str) and isinstance(pr, str) and isinstance(o, str)
+        assert dt is None or isinstance(dt, str)
+        assert lang is None or isinstance(lang, str)
+    for at, msg in p.errors:
+        assert isinstance(msg, str)
+
+
+@given(
+    nations=st.lists(
+        st.tuples(st.integers(0, 30), st.from_regex(r"[A-Za-z][A-Za-z0-9 ]{0,10}", fullmatch=True)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_rdfxml_attribute_vs_element_form_property(nations):
+    """Differential: the ATTRIBUTE spelling (rdf:type + property attrs on
+    the node element) and the ELEMENT spelling of the same description
+    parse to the same triples — the exact corner the ADVICE r4 rdf:type
+    bug hid in."""
+    from rdf_i2b2_converter_spark.sources.rdf import RDF_NS, _RdfXmlParser
+
+    head = (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://e/">'
+    )
+    attr_doc, elem_doc = [head], [head]
+    for k, nm in nations:
+        attr_doc.append(
+            f'<rdf:Description rdf:about="http://e/n{k}"'
+            f' rdf:type="http://e/Nation" ex:name="{nm}"/>'
+        )
+        elem_doc.append(
+            f'<rdf:Description rdf:about="http://e/n{k}">'
+            f'<rdf:type rdf:resource="http://e/Nation"/>'
+            f"<ex:name>{nm}</ex:name></rdf:Description>"
+        )
+    attr_doc.append("</rdf:RDF>")
+    elem_doc.append("</rdf:RDF>")
+    a = _RdfXmlParser(bnode_ns="A").parse("".join(attr_doc))
+    e = _RdfXmlParser(bnode_ns="A").parse("".join(elem_doc))
+    assert a.errors == [] and e.errors == []
+    assert set(a.rows) == set(e.rows)
+    assert all(
+        (f"http://e/n{k}", RDF_NS + "type", "http://e/Nation", None, None) in set(a.rows)
+        for k, _ in nations
+    )
+
+
+# ----------------------------------------------- JSON-LD writer + fuzzing
+
+_jsontext = st.text(max_size=20).filter(lambda t: t not in ("",))
+
+_jl_triple = st.tuples(
+    st.one_of(
+        st.integers(0, 9).map(lambda i: f"http://e/s{i}"),
+        st.integers(0, 4).map(lambda i: f"_:b{i}"),
+    ),
+    st.integers(0, 9),
+    st.one_of(
+        st.integers(0, 9).map(lambda i: (f"http://e/o{i}", None, None)),
+        st.integers(0, 4).map(lambda i: (f"_:b{i}", None, None)),
+        _jsontext.map(lambda t: (t, "xsd:string", None)),
+        st.tuples(_jsontext, st.sampled_from(["en", "de"])).map(
+            lambda p: (p[0], "xsd:string", p[1])
+        ),
+        _jsontext.map(
+            lambda t: (t, "http://www.w3.org/2001/XMLSchema#token", None)
+        ),
+        st.booleans().map(lambda b: ("true" if b else "false", "rdf:type-mark", None)),
+    ),
+)
+
+
+@given(triples=st.lists(_jl_triple, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_jsonld_writer_roundtrip_property(triples):
+    """VERDICT r4 #3: ANY triple set -> render_node_line (the write_jsonld
+    body) -> _JsonLdParser = the same set. Real json escaping on the way
+    out, real parsing back; includes rdf:type -> @type folding."""
+    from rdf_i2b2_converter_spark.sources.jsonld import _JsonLdParser
+    from rdf_i2b2_converter_spark.sources.jsonld import render_node_line
+    from rdf_i2b2_converter_spark.sources.rdf import _PLAIN, RDF_NS
+
+    rows = []
+    for s, pi, (o, dt, lang) in triples:
+        if dt == "rdf:type-mark":  # exercise the @type folding path
+            rows.append((s, RDF_NS + "type", f"http://e/T{o}", None, None))
+        else:
+            rows.append((s, f"http://e/p{pi}", o, dt, lang))
+    by_subj: dict[str, list] = {}
+    for s, p, o, dt, lang in rows:
+        by_subj.setdefault(s, []).append((p, o, dt, lang))
+    parser = _JsonLdParser(bnode_ns="J", label_ns="J")
+    for s, po in by_subj.items():
+        import json as _json
+
+        parser.node(_json.loads(render_node_line(s, po)), {})
+    assert parser.errors == [], parser.errors
+    expected = {
+        (s, p, o, _PLAIN if dt == "xsd:string" else dt, lang)
+        for s, p, o, dt, lang in rows
+    }
+    assert _norm_bn(set(parser.rows)) == _norm_bn(expected)
+
+
+_json_value = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-10**12, 10**12),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=15),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.one_of(
+                st.text(max_size=8),
+                st.sampled_from(
+                    ["@id", "@type", "@context", "@graph", "@value",
+                     "@language", "@list", "@base", "@vocab"]
+                ),
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=25,
+)
+
+
+@given(value=_json_value)
+@settings(max_examples=200, deadline=None)
+def test_jsonld_parser_never_raises_property(value):
+    """Malformed-input contract: ANY JSON value (keywords in random
+    positions included) parses fail-soft — no exception, every row
+    well-typed, problems land in .errors."""
+    import json as _json
+
+    from rdf_i2b2_converter_spark.sources.jsonld import _JsonLdParser
+
+    p = _JsonLdParser(bnode_ns="F")
+    p.document(_json.dumps(value))
+    for s, pr, o, dt, lang in p.rows:
+        assert isinstance(s, str) and isinstance(pr, str) and isinstance(o, str)
+    for msg in p.errors:
+        assert isinstance(msg, str)
+
+
+@given(garbage=st.text(max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_jsonld_invalid_json_never_raises_property(garbage):
+    """Non-JSON text: one recorded error, no rows, no exception."""
+    from rdf_i2b2_converter_spark.sources.jsonld import _JsonLdParser
+
+    p = _JsonLdParser(bnode_ns="F")
+    p.document(garbage)  # must not raise, whatever the bytes
+    assert isinstance(p.errors, list)
+
+
+@given(
+    props=st.lists(
+        st.tuples(st.integers(0, 9), st.text(alphabet="abcxyz", min_size=1, max_size=8)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_jsonld_compact_vs_expanded_form_property(props):
+    """Differential: the same node spelled with full-IRI keys and with
+    context-prefixed keys parses to identical triples — term expansion
+    must be exactly prefix concatenation."""
+    import json as _json
+
+    from rdf_i2b2_converter_spark.sources.jsonld import _JsonLdParser
+
+    compact = {"@context": {"ex": "http://e/"}, "@id": "ex:s"}
+    expanded = {"@id": "http://e/s"}
+    for pi, v in props:
+        for node, key in ((compact, f"ex:p{pi}"), (expanded, f"http://e/p{pi}")):
+            if key in node:
+                prev = node[key]
+                node[key] = (prev if isinstance(prev, list) else [prev]) + [v]
+            else:
+                node[key] = v
+    a = _JsonLdParser(bnode_ns="C")
+    a.document(_json.dumps(compact))
+    b = _JsonLdParser(bnode_ns="C")
+    b.document(_json.dumps(expanded))
+    assert a.errors == [] and b.errors == []
+    assert set(a.rows) == set(b.rows)
