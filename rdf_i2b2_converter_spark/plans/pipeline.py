@@ -95,6 +95,22 @@ def build_triples(
         texted, gazetteer, passthrough_cols=("lang", "warc_ts"),
         counter=mention_counter,
     )
+    return build_triples_from_mentions(
+        mentions, gazetteer, alias_edges, hash_fn, n_parts
+    )
+
+
+def build_triples_from_mentions(
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    alias_edges: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+    n_parts: int = 64,
+) -> DataFrame:
+    """The linking->canonicalization->emission tail of the plan, for
+    callers that produce MENTIONS themselves — e.g. the fused
+    synthesis+detection source (sources/synthetic.gen_mentions, one Python
+    stage instead of two chained worker pools, VERDICT r4 #5)."""
     linked = link_mentions(mentions, gazetteer)
     mapping = connected_components(alias_edges) if alias_edges is not None else None
     # dedup=False: link_mentions output is unique per (url, surface), so the

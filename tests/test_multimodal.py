@@ -261,3 +261,129 @@ def test_decode_asset_struct_error_becomes_valueerror():
                      + b"data" + _s.pack("<I", 0))
     with pytest.raises(ValueError):
         decode_asset(wav_short_fmt, "audio", fake=False)
+
+
+def test_jpeg_decode_roundtrip_444_420_restarts():
+    """VERDICT r4 #7: baseline JPEG decode vs our own encoder (all-ones
+    quant => error is DCT rounding only). Exact-dimension recovery; channel
+    means within 3e-3 across 4:4:4 / 4:2:0 and restart intervals."""
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = [
+        [((x * 31) % 256, (y * 11 + x) % 256, (x + y * 7) % 256) for x in range(33)]
+        for y in range(25)
+    ]
+    n = 33 * 25
+    exp = [sum(p[c] for row in px for p in row) / n / 255.0 for c in range(3)]
+    for sub in (False, True):
+        for ri in (0, 1, 3):
+            f = decode_jpeg(encode_jpeg(px, subsample=sub, restart_interval=ri))
+            assert f[0] == 33.0 and f[1] == 25.0 and f[2] == 24.0 and f[7] == float(n)
+            for c in range(3):
+                assert abs(f[3 + c] - exp[c]) < 3e-3, (sub, ri, c)
+
+
+def test_jpeg_decode_non_multiple_of_mcu():
+    """Edge-replicated partial MCUs: means computed over the REAL w x h
+    area only, not the padded block grid."""
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = [[(250, 10, 10)] * 9 for _ in range(5)]  # 9x5, nowhere near 8|16
+    for sub in (False, True):
+        f = decode_jpeg(encode_jpeg(px, subsample=sub))
+        assert f[0] == 9.0 and f[1] == 5.0 and f[7] == 45.0
+        assert abs(f[3] - 250 / 255) < 0.01
+        assert abs(f[4] - 10 / 255) < 0.01
+
+
+def test_jpeg_decode_rejects_unsupported_and_corrupt():
+    """Progressive SOF2, truncated scans and non-JPEG bytes raise
+    ValueError (fail-soft via decode_asset fake=True)."""
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import (
+        decode_asset,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg([[(1, 2, 3)] * 8 for _ in range(8)])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    # flip SOF0 -> SOF2 (progressive): explicit unsupported error
+    i = good.index(b"\xff\xc0")
+    progressive = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated scan
+    # fake=True is total: corrupt JPEG falls back to sha-features
+    assert len(decode_asset(good[: len(good) // 2], "image", fake=True)) == 8
+    # and the real path decodes through the dispatcher
+    f = decode_asset(good, "image")
+    assert f[0] == 8.0 and f[1] == 8.0
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component scan: decoder handles it (hand-built from the encoder's
+    output by re-tagging... simpler: craft via encoder internals is
+    overkill — build a tiny gray JPEG directly from the marker writer)."""
+    import struct as _s
+
+    from rdf_i2b2_converter_spark.operators.multimodal import (
+        _ENC_AC_COUNTS,
+        _ENC_AC_SYMBOLS,
+        _ENC_DC_COUNTS,
+        _ENC_DC_SYMBOLS,
+        _enc_codes,
+        _fdct_2d,
+        _JpegBitWriter,
+        _magnitude,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    val = 77  # uniform gray
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(b"\xff" + bytes([marker]) + _s.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xC0, _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS)
+    seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _JpegBitWriter()
+    F = _fdct_2d([val - 128.0] * 64)
+    zz = [int(round(F[_ZIGZAG[k]])) for k in range(64)]
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    t, bits = _magnitude(zz[0])
+    ln, code = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    ln, code = ac_codes[0x00]  # EOB (uniform block: all AC zero)
+    bw.write(code, ln)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    f = decode_jpeg(bytes(out))
+    assert f[0] == 8.0 and f[1] == 8.0 and f[2] == 8.0
+    assert abs(f[3] - val / 255.0) < 0.01 and f[3] == f[4] == f[5]
+
+
+def test_gen_assets_includes_real_jpeg(spark):
+    """gen_assets' i%9==6 image slots carry real JPEG payloads that the
+    non-fake path decodes inside the distributed extractor."""
+    from rdf_i2b2_converter_spark.operators.multimodal import (
+        extract_features,
+        gen_assets,
+    )
+
+    assets = gen_assets(spark, 36).filter("asset_id % 9 = 6 AND modality = 'image'")
+    rows = extract_features(assets, fake=False).collect()
+    assert rows, "no JPEG asset slots generated"
+    for r in rows:
+        assert r["features"][0] == 8.0 and r["features"][1] == 8.0

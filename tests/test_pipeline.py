@@ -52,3 +52,44 @@ def test_pipeline_resume_is_idempotent(spark, corpus, sink):
         json.dump({"completed_parts": [0, 1, 2, 3]}, fh)
     out3, m3 = run_pipeline(**args)
     assert _content_hash(out3) == h1 and m3.n_triples == m1.n_triples
+
+
+def test_fused_gen_mentions_parity(spark):
+    """VERDICT r4 #5: the fused synthesis+detection stage
+    (synthetic.gen_mentions, ONE mapInPandas) produces exactly the rows of
+    gen_pages |> detect_mentions (two chained Python stages) — and the
+    triples built from each are identical."""
+    from rdf_i2b2_converter_spark.operators.mentions import detect_mentions
+    from rdf_i2b2_converter_spark.plans.pipeline import (
+        build_triples,
+        build_triples_from_mentions,
+    )
+    from rdf_i2b2_converter_spark.sources import synthetic as syn
+
+    n = 250
+    gaz = syn.gen_gazetteer(spark)
+    fused = syn.gen_mentions(spark, n, num_partitions=8)
+    unfused = detect_mentions(
+        syn.gen_pages(spark, n, num_partitions=8),
+        gaz,
+        passthrough_cols=("lang", "warc_ts"),
+    )
+    assert fused.columns == unfused.columns
+    k = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(tuple, fused.collect()), key=k) == sorted(
+        map(tuple, unfused.collect()), key=k
+    )
+
+    t_fused = {
+        tuple(r)
+        for r in build_triples_from_mentions(fused, gaz)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    t_unfused = {
+        tuple(r)
+        for r in build_triples(syn.gen_pages(spark, n, num_partitions=8), gaz)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    assert t_fused == t_unfused

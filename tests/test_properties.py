@@ -774,3 +774,34 @@ def test_jsonld_compact_vs_expanded_form_property(props):
     b.document(_json.dumps(expanded))
     assert a.errors == [] and b.errors == []
     assert set(a.rows) == set(b.rows)
+
+
+@given(
+    cut=st.integers(2, 400),
+    flips=st.lists(
+        st.tuples(st.integers(0, 399), st.integers(0, 255)), max_size=4
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_never_raises_unexpectedly_property(cut, flips):
+    """Fuzz the baseline JPEG decoder with truncations and byte flips of a
+    valid stream: the outcome is either a successful 8-float decode or a
+    ValueError — never IndexError/struct.error/KeyError (the fail-soft
+    ingest contract decode_asset(fake=True) leans on)."""
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    good = bytearray(
+        encode_jpeg(
+            [[(x * 16 % 256, y * 24 % 256, 99) for x in range(10)] for y in range(9)],
+            restart_interval=2,
+        )
+    )
+    data = good[: max(2, min(cut, len(good)))]
+    for pos, val in flips:
+        if pos < len(data):
+            data[pos] = val
+    try:
+        f = decode_jpeg(bytes(data))
+        assert len(f) == 8 and all(isinstance(v, float) for v in f)
+    except ValueError:
+        pass  # the one licensed failure mode
