@@ -45,7 +45,7 @@ import json, os, time, sys, statistics
 cpus = {cpus}; n_docs = {n_docs}; n_runs = {n_runs}
 from rdf_i2b2_converter_spark.session import get_spark
 from rdf_i2b2_converter_spark.sources import synthetic as syn
-from rdf_i2b2_converter_spark.plans.pipeline import build_triples
+from rdf_i2b2_converter_spark.plans.pipeline import build_triples_from_mentions
 from pyspark.sql import functions as F
 # SPARK_KG_TASK_CPUS=2 reserves 2 cores/task: the pipeline's hot stage
 # chains a JVM task thread with Arrow python workers, so one task really
@@ -61,8 +61,13 @@ spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=cpus,
 PARTS = 64  # identical partitioning at every level: same job, same input
 
 def run(n):
-    pages = syn.gen_pages(spark, n, num_partitions=PARTS)
-    return build_triples(pages, syn.gen_gazetteer(spark), syn.gen_alias_edges(spark))
+    # FUSED synthesis+detection source (VERDICT r4 #5): one Python worker
+    # pool per task instead of two chained ones; output parity with
+    # gen_pages |> detect_mentions is pytest-asserted (test_pipeline.py)
+    mentions = syn.gen_mentions(spark, n, num_partitions=PARTS)
+    return build_triples_from_mentions(
+        mentions, syn.gen_gazetteer(spark), syn.gen_alias_edges(spark)
+    )
 
 run(2000).count()                    # warm codegen + python workers
 # median-of-n_runs back-to-back (VERDICT r3 #4/#5): per-run walls stay in
@@ -149,10 +154,11 @@ def main() -> None:
         fh.write(
             f"""# BENCH/BASELINE — measured scaling evidence
 
-Job: full KG pipeline (distributed page generation -> byte-identical text
-extraction -> Aho-Corasick mention detection -> broadcast entity linking ->
-connected-components canonicalization -> deterministic URI minting ->
-triple emission -> distinct) over an identical {N_DOCS:,}-page synthetic
+Job: full KG pipeline (distributed page synthesis FUSED with Aho-Corasick
+mention detection in one mapInPandas stage — r5, parity-tested against the
+two-stage plan -> broadcast entity linking -> connected-components
+canonicalization -> deterministic URI minting -> triple emission ->
+distinct) over an identical {N_DOCS:,}-page synthetic
 corpus at {len(LEVELS)} parallelism levels — the sandbox stand-in for N vs
 4N executor clusters (north_rule). Fresh JVM per level; codegen warmed
 with a 2k-page run before timing; identical 64-partition input at every

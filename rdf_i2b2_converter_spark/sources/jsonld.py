@@ -312,11 +312,19 @@ def read_jsonld_lines(
     subject line and the lines referencing it keep their link
     (write_jsonld round-trip) while labels in different files stay
     distinct."""
+    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
+    return jsonld_lines_plan(lines, context)
+
+
+def jsonld_lines_plan(lines: DataFrame, context: dict | None = None) -> DataFrame:
+    """The NDJSON-LD parse stage over any lines(file, value) DataFrame — a
+    pure stateless ``mapInPandas``, so it applies unchanged to a STREAMING
+    lines source (streaming/stream.read_jsonld_lines_stream), mirroring
+    the ntriples_from_lines / turtle_lines_plan split."""
     import hashlib
 
     import pandas as pd
 
-    lines = spark.read.text(path).select(F.input_file_name().alias("file"), "value")
     base_ctx = dict(context or {})
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1483,6 +1483,7 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         else "turtle" if base.endswith(".ttl")
         else "rdfxml" if base.endswith((".rdf", ".owl", ".xml"))
         else "jsonld" if base.endswith(".jsonld")
+        else "jsonld-lines" if base.endswith((".jsonl", ".ndjson"))
         else "parquet"
     )
     if fmt == "ntriples":

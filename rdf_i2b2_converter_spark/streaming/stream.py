@@ -105,8 +105,35 @@ def read_ntriples_stream(
     lines = (
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(path)
+        .withColumn("__file", F.input_file_name())
     )
-    return ntriples_from_lines(lines)
+    # same per-file bnode scoping as the batch reader (ADVICE r4):
+    # input_file_name() is legal on a streaming file source
+    return ntriples_from_lines(lines, file_col="__file")
+
+
+def read_jsonld_lines_stream(
+    spark: SparkSession,
+    path: str,
+    context: dict | None = None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming A1 for NDJSON-LD (r5): ``readStream.text`` over a drop
+    directory -> the SAME stateless parse stage as the batch reader
+    (sources/jsonld.jsonld_lines_plan — a pure mapInPandas, legal on a
+    streaming DataFrame). The static ``context`` plays the same role as
+    the static prefix table in read_turtle_lines_stream: stream queries
+    cannot collect per-file headers mid-query, and crawler NDJSON shares
+    one context by construction. Invalid JSON lines are dropped exactly
+    as in batch (fail-soft)."""
+    from ..sources.jsonld import jsonld_lines_plan
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+        .select(F.input_file_name().alias("file"), "value")
+    )
+    return jsonld_lines_plan(lines, context)
 
 
 def read_turtle_lines_stream(

@@ -318,3 +318,13 @@ def test_read_jsonld_warns_on_giant_document(spark, tmp_path, monkeypatch):
         w.simplefilter("always")
         read_jsonld(spark, str(f)).count()
         assert not any("read_jsonld_lines" in str(c.message) for c in caught)
+
+
+def test_read_rdf_dispatches_ndjson_extensions(spark, tmp_path):
+    """guess_format front door: .jsonl/.ndjson route to the line-splittable
+    NDJSON-LD reader (r5)."""
+    for ext in ("jsonl", "ndjson"):
+        f = tmp_path / f"g.{ext}"
+        f.write_text('{"@id": "http://e/a", "http://e/p": "v"}\n')
+        rows = {(r["s"], r["p"], r["o"]) for r in read_rdf(spark, str(f)).collect()}
+        assert rows == {("http://e/a", "http://e/p", "v")}

@@ -145,3 +145,36 @@ def test_streaming_turtle_lines_source_matches_batch(spark, tmp_path):
             ).collect()
         }
         assert streamed == batch and len(batch) == 5, tag
+
+
+def test_streaming_jsonld_lines_source_matches_batch(spark, tmp_path):
+    """Streaming A1 for NDJSON-LD (r5): the readStream.text source parses
+    each micro-batch to exactly the batch reader's rows (same mapInPandas
+    stage, same static context, same per-file bnode scoping)."""
+    from rdf_i2b2_converter_spark.sources.jsonld import read_jsonld_lines
+    from rdf_i2b2_converter_spark.streaming.stream import read_jsonld_lines_stream
+
+    ctx = {"ex": "http://e/", "knows": {"@id": "ex:knows", "@type": "@id"}}
+    drop = tmp_path / "jl_drop"
+    drop.mkdir()
+    (drop / "a.jsonl").write_text(
+        '{"@id": "ex:a", "@type": "ex:T", "ex:name": "Ada", "knows": "ex:b"}\n'
+        "not json at all\n"
+        '{"@id": "_:n1", "ex:name": "anon"}\n'
+    )
+    (drop / "b.jsonl").write_text(
+        '{"@id": "ex:b", "ex:age": 36, "ex:pet": {"ex:name": "Mog"}}\n'
+    )
+    out = str(tmp_path / "jl_out")
+    ckpt = str(tmp_path / "jl_ckpt")
+    q = (
+        read_jsonld_lines_stream(spark, str(drop), context=ctx, max_files_per_trigger=1)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in read_jsonld_lines(spark, str(drop), context=ctx).collect()}
+    assert streamed == batch and len(batch) >= 6
