@@ -1898,15 +1898,22 @@ def write_ntriples(
     default rows connected through blank nodes are co-located into one
     part-file — the same severed-link guard as the document sinks.
     Pipelines that mint IRIs only (the KG emission path has no bnodes)
-    can pass ``colocate_bnodes=False`` to skip the emptiness probe."""
+    can pass ``colocate_bnodes=False`` to skip the emptiness probe.
+
+    Accepts both the KG emission schema (subj/pred/obj/obj_datatype) and
+    TRIPLES_RAW (s/p/o/o_datatype/o_lang) — the reader-side schema is
+    normalized to the emission names the renderer uses."""
     from ..operators.emit import triples_to_ntriples
 
+    ren = {"s": "subj", "p": "pred", "o": "obj",
+           "o_datatype": "obj_datatype", "o_lang": "obj_lang"}
+    triples = triples.withColumnsRenamed(
+        {k: v for k, v in ren.items()
+         if k in triples.columns and v not in triples.columns}
+    )
     if colocate_bnodes:
-        s_col = "subj" if "subj" in triples.columns else "s"
-        o_col = "obj" if "obj" in triples.columns else "o"
-        dt_col = "obj_datatype" if "obj_datatype" in triples.columns else "o_datatype"
         bn_edges = triples.filter(
-            F.col(dt_col).isNull() & F.col(o_col).startswith("_:")
-        ).select(F.col(s_col).alias("src_id"), F.col(o_col).alias("dst_id"))
-        triples = _colocate_by_bnode_cluster(triples, bn_edges, key_col=s_col)
+            F.col("obj_datatype").isNull() & F.col("obj").startswith("_:")
+        ).select(F.col("subj").alias("src_id"), F.col("obj").alias("dst_id"))
+        triples = _colocate_by_bnode_cluster(triples, bn_edges, key_col="subj")
     triples_to_ntriples(triples).write.mode(mode).text(path)
