@@ -148,12 +148,8 @@ def cmd_export(args) -> int:
     elif args.to == "jsonld":
         write_jsonld(triples, args.out)
     else:
-        write_ntriples(
-            triples.withColumnsRenamed(
-                {"s": "subj", "p": "pred", "o": "obj",
-                 "o_datatype": "obj_datatype", "o_lang": "obj_lang"}
-            )
-        , args.out)
+        # write_ntriples normalizes TRIPLES_RAW names itself (r5)
+        write_ntriples(triples, args.out)
     print(json.dumps({"out": args.out, "to": args.to}))
     return 0
 

@@ -448,6 +448,17 @@ def decode_jpeg(content: bytes) -> list[float]:
     for sc in scan_comps:
         if sc["id"] not in by_id:
             raise ValueError(f"scan references unknown component {sc['id']}")
+    # and the reverse: every frame component needs a scan entry — the
+    # interleaved-single-scan decode below assumes full coverage (review
+    # r5: a legal multi-scan baseline or a corrupt ns byte otherwise hit
+    # a bare next() -> StopIteration, escaping the ValueError contract)
+    scan_by_id = {s["id"]: s for s in scan_comps}
+    for c in comps:
+        if c["id"] not in scan_by_id:
+            raise ValueError(
+                f"frame component {c['id']} missing from scan "
+                "(non-interleaved multi-scan baseline not supported)"
+            )
     # per-component plane at its own resolution (blocks-rounded)
     planes = []
     for c in comps:
@@ -463,7 +474,7 @@ def decode_jpeg(content: bytes) -> list[float]:
                 preds = [0] * len(comps)
             my, mx = divmod(m, mcus_x)
             for ci, c in enumerate(comps):
-                sc = next(s for s in scan_comps if s["id"] == c["id"])
+                sc = scan_by_id[c["id"]]
                 dc_lut = huff.get((0, sc["td"]))
                 ac_lut = huff.get((1, sc["ta"]))
                 q = qt.get(c["tq"])

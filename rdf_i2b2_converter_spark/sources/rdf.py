@@ -1911,9 +1911,19 @@ def write_ntriples(
         {k: v for k, v in ren.items()
          if k in triples.columns and v not in triples.columns}
     )
-    if colocate_bnodes:
+    if not colocate_bnodes:
+        triples_to_ntriples(triples).write.mode(mode).text(path)
+        return
+    # persist around the probe+write: the colocation branch runs up to
+    # three actions over the upstream plan (emptiness probe, CC edge
+    # collect, the write itself) — same caching discipline as the
+    # document sinks' grouped_by_subject (review r5)
+    triples = triples.persist()
+    try:
         bn_edges = triples.filter(
             F.col("obj_datatype").isNull() & F.col("obj").startswith("_:")
         ).select(F.col("subj").alias("src_id"), F.col("obj").alias("dst_id"))
-        triples = _colocate_by_bnode_cluster(triples, bn_edges, key_col="subj")
-    triples_to_ntriples(triples).write.mode(mode).text(path)
+        located = _colocate_by_bnode_cluster(triples, bn_edges, key_col="subj")
+        triples_to_ntriples(located).write.mode(mode).text(path)
+    finally:
+        triples.unpersist()
