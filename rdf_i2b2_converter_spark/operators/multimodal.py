@@ -59,27 +59,30 @@ def decode_wav(content: bytes) -> list[float]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"truncated fmt chunk ({len(fmt)} bytes, want >= 16)")
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"only 8/16-bit integer PCM supported (format={audio_format}, bits={bits})")
+    # explicit little-endian dtype: WAV PCM is LE on disk regardless of
+    # host byte order, and the vectorized pass replaces three Python-level
+    # loops over the sample array (review r5)
     if bits == 16:
-        samples = array("h")
-        samples.frombytes(data[: len(data) - (len(data) % 2)])
+        vals = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float64)
         norm = 32768.0
-        vals = samples
     else:
-        vals = array("B")
-        vals.frombytes(data)
-        vals = array("d", ((v - 128) for v in vals))
+        vals = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
         norm = 128.0
-    n = len(vals)
+    n = vals.size
     n_frames = n // max(1, n_channels)
     if n == 0:
         mean = rms = peak = 0.0
     else:
-        mean = sum(vals) / n / norm
-        rms = (sum(v * v for v in vals) / n) ** 0.5 / norm
-        peak = max(abs(min(vals)), abs(max(vals))) / norm
+        mean = float(vals.mean()) / norm
+        rms = float(np.sqrt(np.mean(vals * vals))) / norm
+        peak = float(np.abs(vals).max()) / norm
     duration_ms = n_frames * 1000.0 / sample_rate if sample_rate else 0.0
     return [float(sample_rate), float(n_channels), float(bits),
             duration_ms, float(n_frames), mean, rms, peak]
@@ -97,6 +100,11 @@ def decode_bmp(content: bytes) -> list[float]:
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     abs_h = abs(height)
+    # dimension sanity, same policy as PNG/JPEG (review r5: width=0 with a
+    # 2^31 height looped for minutes on a 54-byte payload, and a negative
+    # width wrapped Python slices into silently-garbage features)
+    if not (0 < width and 0 < abs_h) or width * abs_h > (1 << 26):
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3
     tot_r = tot_g = tot_b = 0
     for row in range(abs_h):
@@ -362,13 +370,19 @@ def decode_jpeg(content: bytes) -> list[float]:
     frame = None
     restart_interval = 0
     scan_comps = None
+    color_transform = None  # APP14 Adobe: 0 = RGB, 1/2 = YCbCr/YCCK
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = content[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # standalone EOI (no length) before any scan
+            raise ValueError("EOI before scan data")
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
         body = content[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -430,9 +444,12 @@ def decode_jpeg(content: bytes) -> list[float]:
                 cid, tda = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append({"id": cid, "td": tda >> 4, "ta": tda & 0xF})
             break  # entropy-coded data follows
-        elif marker == 0xD9:  # EOI before SOS
-            raise ValueError("EOI before scan data")
-        # APPn / COM / others: skipped
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: transform byte 0 marks component-ids-as-RGB (no
+            # color matrix) — Photoshop-style RGB JPEGs would otherwise
+            # be silently run through YCbCr math (review r5)
+            color_transform = body[11]
+        # other APPn / COM: skipped
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS segment")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
@@ -512,33 +529,36 @@ def decode_jpeg(content: bytes) -> list[float]:
                                 plane[base + xx] = 0 if v < 0 else 255 if v > 255 else v
     except IndexError as e:  # ran off the end of the scan data
         raise ValueError("truncated JPEG scan data") from e
-    # channel means over the REAL image area, chroma upsampled by index map
-    tot = [0, 0, 0]
-    if len(comps) == 1:
-        plane, cw = planes[0], comps[0]["cw"]
-        for y in range(h):
-            tot[0] += sum(plane[y * cw : y * cw + w])
-        mean = tot[0] / (w * h) / 255.0
-        return [float(w), float(h), 8.0, mean, mean, mean, mean, float(w * h)]
-    sy, sr, sg, sb = 0, 0, 0, 0
-    pY, pCb, pCr = planes
-    cY, cCb, cCr = comps
-    for y in range(h):
-        rowY = pY[y * cY["cw"] : y * cY["cw"] + w]
-        yb = (y * cCb["v"]) // vmax * cCb["cw"]
-        yr = (y * cCr["v"]) // vmax * cCr["cw"]
-        for x in range(w):
-            Y = rowY[x]
-            Cb = pCb[yb + (x * cCb["h"]) // hmax] - 128
-            Cr = pCr[yr + (x * cCr["h"]) // hmax] - 128
-            r = Y + 1.402 * Cr
-            g = Y - 0.344136 * Cb - 0.714136 * Cr
-            b = Y + 1.772 * Cb
-            sr += 0 if r < 0 else 255 if r > 255 else r
-            sg += 0 if g < 0 else 255 if g > 255 else g
-            sb += 0 if b < 0 else 255 if b > 255 else b
+    # channel means over the REAL image area. Vectorized (review r5: the
+    # per-pixel Python loop cost minutes on 30 MP images) and sampled per
+    # COMPONENT — the old code assumed Y was max-sampled and indexed off
+    # the end of a half-resolution luma plane when chroma carried the max
+    # factors (legal baseline; escaped the ValueError contract).
+    def sample(ci) -> "np.ndarray":
+        c = comps[ci]
+        arr = np.frombuffer(bytes(planes[ci]), dtype=np.uint8).reshape(
+            c["ch"], c["cw"]
+        )
+        yi = (np.arange(h) * c["v"]) // vmax
+        xi = (np.arange(w) * c["h"]) // hmax
+        return arr[np.ix_(yi, xi)].astype(np.float64)
+
     n_px = w * h
-    mean_r, mean_g, mean_b = sr / n_px / 255.0, sg / n_px / 255.0, sb / n_px / 255.0
+    if len(comps) == 1:
+        mean = float(sample(0).mean()) / 255.0
+        return [float(w), float(h), 8.0, mean, mean, mean, mean, float(n_px)]
+    p0, p1, p2 = sample(0), sample(1), sample(2)
+    if color_transform == 0:
+        # APP14 Adobe transform 0: components already are R, G, B
+        r, g, b = p0, p1, p2
+    else:
+        cb, cr = p1 - 128.0, p2 - 128.0
+        r = p0 + 1.402 * cr
+        g = p0 - 0.344136 * cb - 0.714136 * cr
+        b = p0 + 1.772 * cb
+    mean_r = float(np.clip(r, 0.0, 255.0).mean()) / 255.0
+    mean_g = float(np.clip(g, 0.0, 255.0).mean()) / 255.0
+    mean_b = float(np.clip(b, 0.0, 255.0).mean()) / 255.0
     luma = 0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b
     return [float(w), float(h), 24.0, mean_r, mean_g, mean_b, luma, float(n_px)]
 
@@ -585,6 +605,10 @@ def extract_features(assets: DataFrame, n_features: int = 8, fake: bool = True) 
     transferred, one output row per asset with array<double> features.
     The batch shape (iterator of pandas DataFrames) is exactly what a real
     GPU-decode stage would consume."""
+    if not 0 < n_features <= 8:
+        raise ValueError(
+            f"n_features must be in 1..8 (decoders emit 8 floats; got {n_features})"
+        )
     out_schema = "asset_id long, modality string, features array<double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -603,10 +627,16 @@ def extract_features(assets: DataFrame, n_features: int = 8, fake: bool = True) 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame timestamps to decode
     from metadata only (no decode) — pure column expressions, so planning a
-    10^9-video sample costs one narrow map."""
+    10^9-video sample costs one narrow map. Dirty metadata is expected at
+    ingest scale: NULL/negative durations clamp to 0 (one frame at t=0)
+    instead of failing the stage on sequence() bounds (review r5)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive (got {every_ms})")
     return assets.filter(F.col("modality") == "video").select(
         "asset_id",
-        F.expr(f"sequence(0, coalesce(meta.duration_ms, 0), {every_ms})").alias("frame_ts_ms"),
+        F.expr(
+            f"sequence(0, greatest(coalesce(meta.duration_ms, 0), 0), {every_ms})"
+        ).alias("frame_ts_ms"),
     )
 
 
@@ -871,9 +901,11 @@ def encode_jpeg(
 
 
 def gen_assets(spark, n: int = 100) -> DataFrame:
-    """Deterministic synthetic assets for tests: every third audio/image
-    asset carries a REAL payload (PCM WAV / 24-bit BMP) for the native
-    decoders; the rest are opaque bytes exercised via the fake path."""
+    """Deterministic synthetic assets for tests: EVERY image slot carries a
+    real payload (BMP at i%9==0, PNG at 3, JPEG at 6 — image ids are
+    exactly i%3==0, so the three branches cover them all); one in three
+    audio slots carries real PCM WAV; video and the remaining audio are
+    opaque bytes exercised via the fake path."""
     rows = []
     mods = ("image", "audio", "video")
     for i in range(n):

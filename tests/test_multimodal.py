@@ -387,3 +387,122 @@ def test_gen_assets_includes_real_jpeg(spark):
     assert rows, "no JPEG asset slots generated"
     for r in rows:
         assert r["features"][0] == 8.0 and r["features"][1] == 8.0
+
+
+def test_jpeg_luma_not_max_sampled_and_fill_bytes():
+    """Review r5: (a) a legal baseline JPEG whose CHROMA carries the max
+    sampling factors (Y h=v=1, Cb/Cr h=v=2) must decode, not IndexError;
+    (b) T.81 fill bytes (0xFF runs before a marker) are legal padding."""
+    from rdf_i2b2_converter_spark.operators.multimodal import (
+        decode_asset,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg([[(10, 200, 30)] * 16 for _ in range(16)], subsample=True)
+    # swap sampling: give chroma the 2x2 factors and luma 1x1 by editing
+    # SOF0 comp bytes (id, HV, tq): Y 0x22 -> 0x11, Cb/Cr 0x11 -> 0x22.
+    i = good.index(b"\xff\xc0")
+    sof = bytearray(good[i : i + 19])
+    # SOF0: FFC0 len prec h w nc, then (id, HV, tq) per comp -> HV bytes
+    # sit at offsets 11, 14, 17
+    assert sof[11] == 0x22 and sof[14] == 0x11 and sof[17] == 0x11
+    sof[11], sof[14], sof[17] = 0x11, 0x22, 0x22
+    swapped = good[:i] + bytes(sof) + good[i + 19 :]
+    f = decode_asset(bytes(swapped), "image", fake=True)  # must not raise
+    assert len(f) == 8
+    # fill bytes before the SOF marker
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    f2 = decode_jpeg(padded)
+    assert f2[0] == 16.0 and f2[1] == 16.0
+
+
+def test_jpeg_adobe_rgb_transform():
+    """APP14 Adobe transform=0: components are R/G/B — no YCbCr matrix.
+    Build one by wrapping encoder output whose 'Y/Cb/Cr' planes we feed
+    the RGB values directly (transform 0 makes the decoder read them
+    back verbatim)."""
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    # trick: encode a 'YCbCr' image whose matrix-input equals identity by
+    # constructing pixels whose YCbCr transform is (r,g,b) is hard; instead
+    # just verify the APP14 branch flips the interpretation: a gray image
+    # (r=g=b) decodes identically under both interpretations, and the
+    # marker must parse without error.
+    base = encode_jpeg([[(120, 120, 120)] * 8 for _ in range(8)])
+    app14 = b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe" + bytes(6) + bytes([0])
+    i = base.index(b"\xff\xdb")
+    with_app14 = base[:i] + app14 + base[i:]
+    f = decode_jpeg(with_app14)
+    # gray in YCbCr: Y=120, Cb=Cr=128 -> RGB-direct read gives
+    # (120, 128, 128)/255 rather than (120,120,120); assert the transform
+    # branch was taken (mean_g/b = 128/255, not 120/255)
+    assert abs(f[3] - 120 / 255) < 0.01
+    assert abs(f[4] - 128 / 255) < 0.01 and abs(f[5] - 128 / 255) < 0.01
+
+
+def test_bmp_dimension_sanity():
+    """Review r5: width=0 + huge height must be a fast ValueError (not a
+    2^31-iteration loop); negative width must not wrap slices."""
+    import struct as _s
+
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_bmp
+
+    def bmp_header(width, height):
+        info = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return b"BM" + _s.pack("<IHHI", 54, 0, 0, 54) + info
+
+    with pytest.raises(ValueError, match="implausible"):
+        decode_bmp(bmp_header(0, 0x7FFFFFFF))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_bmp(bmp_header(-10, 5))
+
+
+def test_wav_truncated_fmt_and_big_sample_path():
+    """Review r5: truncated fmt chunk raises ValueError (not struct.error)
+    from decode_wav directly; the vectorized sample path matches the old
+    arithmetic."""
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import decode_wav, encode_wav
+
+    bad = b"RIFF" + (20).to_bytes(4, "little") + b"WAVE" + b"fmt " + (8).to_bytes(4, "little") + bytes(8)
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(bad)
+    samples = [0, 16384, -16384, 32767, -32768] * 10
+    f = decode_wav(encode_wav(samples))
+    assert abs(f[5] - (sum(samples) / len(samples) / 32768.0)) < 1e-9  # mean
+    assert abs(f[7] - 1.0) < 1e-4  # peak
+
+
+def test_frame_sample_plan_dirty_durations(spark):
+    """Review r5: NULL and NEGATIVE duration_ms must not fail the stage."""
+    import pytest
+
+    from rdf_i2b2_converter_spark import schemas
+    from rdf_i2b2_converter_spark.operators.multimodal import frame_sample_plan
+
+    rows = [
+        (1, "u1", "video", b"x", "video/mp4",
+         {"width": None, "height": None, "duration_ms": -5, "sample_rate": None}),
+        (2, "u2", "video", b"x", "video/mp4",
+         {"width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+        (3, "u3", "video", b"x", "video/mp4",
+         {"width": None, "height": None, "duration_ms": 2500, "sample_rate": None}),
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.ASSETS)
+    got = {r["asset_id"]: list(r["frame_ts_ms"]) for r in frame_sample_plan(df).collect()}
+    assert got[1] == [0] and got[2] == [0] and got[3] == [0, 1000, 2000]
+    with pytest.raises(ValueError, match="every_ms"):
+        frame_sample_plan(df, every_ms=0)
+
+
+def test_extract_features_rejects_oversized_n_features(spark):
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.multimodal import extract_features, gen_assets
+
+    with pytest.raises(ValueError, match="n_features"):
+        extract_features(gen_assets(spark, 3), n_features=16)
