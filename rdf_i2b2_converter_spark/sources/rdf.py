@@ -33,9 +33,12 @@ from pyspark.sql import functions as F
 
 #: One N-Triples statement:
 #:   (<s> | _:b) <p> (<iri> | _:b | "lit"(^^<dt> | @lang)?) .
+#: one N-Triples statement; trailing end-of-line comments after the '.'
+#: are spec-legal (review r5 — anchoring on the dot silently dropped
+#: conformant hand-annotated dumps)
 _NT_RE = (
     r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
-    r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?)\s*\.\s*$"
+    r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?)\s*\.\s*(?:#.*)?$"
 )
 
 
@@ -48,18 +51,83 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     (``_:name``) are remapped into a per-file namespace
     (``_:g<md5-64(file)>x<name>``) so ``_:b0`` in two .nt files of a
     multi-file read never silently merges — the same scoping rule as the
-    Turtle/RDF-XML/JSON-LD readers (ADVICE r4)."""
+    Turtle/RDF-XML/JSON-LD readers (ADVICE r4). Few-file unsplittable-
+    codec inputs (.nt.gz) respread the raw lines before parsing — the
+    guard lives HERE so the direct front door and read_rdf cannot drift
+    (review r5)."""
     lines = spark.read.text(path).withColumn("__file", F.input_file_name())
+    if _should_respread(spark, path):
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
     return ntriples_from_lines(lines, file_col="__file")
 
 
 def ntriples_from_lines(lines: DataFrame, file_col: str | None = None) -> DataFrame:
-    """The N-Triples expression plan over any lines DataFrame — pure column
-    expressions, so it applies unchanged to a STREAMING lines source
-    (streaming/stream.read_ntriples_stream). When ``file_col`` names a
-    provenance column, explicit ``_:label`` bnodes are namespaced per file
-    (md5-64 of the column value, matching :func:`_bnode_seed`); without it
-    labels are carried verbatim (single-file / socket-stream semantics)."""
+    """The N-Triples parse plan over any lines DataFrame. Two branches
+    (both legal on a STREAMING source, streaming/stream.
+    read_ntriples_stream): lines WITHOUT ``\\uXXXX``/``\\UXXXXXXXX``
+    escapes — the overwhelming majority — parse through pure column
+    expressions (JVM, no Python); lines carrying UCHAR escapes (classic
+    ASCII-clean dumps; Jena still emits them) route through a small
+    Python decoder, because codepoint conversion is not expressible in
+    Catalyst (review r5 — they used to read back with the six literal
+    characters, silently diverging from the Turtle reader). When
+    ``file_col`` names a provenance column, explicit ``_:label`` bnodes
+    are namespaced per file (md5-64 of the column value, matching
+    :func:`_bnode_seed`); without it labels are carried verbatim
+    (single-file / socket-stream semantics)."""
+    # one literal backslash then u/U + 4 hex — over-matching (e.g. an
+    # ESCAPED backslash before 'u0041') is safe: the Python branch
+    # decodes left-to-right and handles both cases correctly
+    uchar = F.col("value").rlike(r"\\[uU][0-9A-Fa-f]{4}")
+    fast = _ntriples_jvm_plan(lines.filter(~uchar), file_col)
+    slow = _ntriples_python_plan(lines.filter(uchar), file_col)
+    return fast.unionByName(slow)
+
+
+def _ntriples_python_plan(lines: DataFrame, file_col: str | None) -> DataFrame:
+    """UCHAR-branch parser: same grammar (the _NT_RE pattern compiles
+    identically under Python re), full Turtle-family escape decoding via
+    :func:`_unescape` on the RAW groups — never after the JVM's partial
+    decode, which would double-decode ``\\\\u0041``."""
+    import pandas as pd
+
+    pat = re.compile(_NT_RE)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seeds: dict[str, str] = {}
+        for pdf in batches:
+            rows: list[tuple] = []
+            files = pdf[file_col] if file_col is not None else None
+            for i, line in enumerate(pdf["value"]):
+                m = pat.match(line or "")
+                if not m:
+                    continue  # surfaced by scan_errors, as in the JVM branch
+                s_iri, s_blank, p, o_iri, o_blank, o_lit, o_dt, o_lang = m.groups()
+
+                def bn(label: str) -> str:
+                    if files is None:
+                        return label
+                    f = files.iloc[i]
+                    seed = seeds.get(f)
+                    if seed is None:
+                        seed = seeds[f] = _bnode_seed(f)
+                    return f"_:g{seed}x{label[2:]}"
+
+                s = _unescape(s_iri) if s_iri else bn(s_blank)
+                if o_iri:
+                    o, dt = _unescape(o_iri), None
+                elif o_blank:
+                    o, dt = bn(o_blank), None
+                else:
+                    o = _unescape(o_lit)
+                    dt = _unescape(o_dt) if o_dt else _PLAIN
+                rows.append((s, _unescape(p), o, dt, o_lang or None))
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    return lines.mapInPandas(parse, schema=_TRIPLE_SCHEMA)
+
+
+def _ntriples_jvm_plan(lines: DataFrame, file_col: str | None = None) -> DataFrame:
     carry = [F.col(file_col)] if file_col is not None else []
     parsed = lines.select(
         *carry,
@@ -116,12 +184,15 @@ def ntriples_from_lines(lines: DataFrame, file_col: str | None = None) -> DataFr
 
 # --------------------------------------------------------------- Turtle
 
-#: ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>`` (p may be empty)
+#: ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>`` (p may be
+#: empty); optional trailing comment (review r5 — a commented directive
+#: was silently dropped from the line-mode expansion table)
 _PREFIX_RE = re.compile(
-    r"^\s*(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*$", re.IGNORECASE
+    r"^\s*(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*(?:#.*)?$",
+    re.IGNORECASE,
 )
 #: ``@base <iri> .`` — line-mode only marker (the document parser resolves)
-_BASE_RE = re.compile(r"^\s*(?:@base|BASE)\s+<[^>]*>\s*\.?\s*$", re.IGNORECASE)
+_BASE_RE = re.compile(r"^\s*(?:@base|BASE)\s+<[^>]*>\s*\.?\s*(?:#.*)?$", re.IGNORECASE)
 
 #: Turtle token stream (shared by the line and document parsers). Order
 #: matters: strings and IRIs first so '<', '"' runs never tokenize as
@@ -344,11 +415,8 @@ class _TurtleParser:
         return (base + local, False) if base is not None else (val, False)
 
     def _resolve_iri(self, raw: str) -> str:
-        if self.base and not _SCHEME_RE.match(raw):
-            from urllib.parse import urljoin
-
-            return urljoin(self.base, raw)
-        return raw
+        # one base-resolution implementation across parsers (review r5)
+        return _resolve_against(self.base, raw)
 
     def _iri_term(self, val: str):
         return (self._resolve_iri(val[1:-1]), False)
@@ -651,7 +719,7 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
     import pandas as pd
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["kind", *_TRIPLE_COLS, "pn_mask"]
+        cols = ["kind", "file", *_TRIPLE_COLS, "pn_mask"]
         seeds: dict[str, str] = {}  # one md5 per distinct file, not per line
         for pdf in batches:
             rows: list[tuple] = []
@@ -660,7 +728,12 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
                     continue
                 m = _PREFIX_RE.match(line)
                 if m:
-                    rows.append(("p", m.group(1) or "", None, m.group(2), None, None, 0))
+                    # prefix rows carry their FILE: prefixes are
+                    # file-scoped declarations (review r5 — a corpus-wide
+                    # table let one file's namespace rebind another's)
+                    rows.append(
+                        ("p", file, m.group(1) or "", None, m.group(2), None, None, 0)
+                    )
                     continue
                 if _BASE_RE.match(line):
                     continue
@@ -678,10 +751,12 @@ def turtle_lines_plan(lines: DataFrame, mode: str) -> DataFrame:
                     parser.statement_line()
                 except ValueError:
                     continue  # surfaced by scan_turtle_errors
-                rows.extend(("t", *r) for r in parser.rows)
+                rows.extend(("t", file, *r) for r in parser.rows)
             yield pd.DataFrame(rows, columns=cols)
 
-    return lines.mapInPandas(parse, schema=f"kind string, {_TRIPLE_SCHEMA}, pn_mask int")
+    return lines.mapInPandas(
+        parse, schema=f"kind string, file string, {_TRIPLE_SCHEMA}, pn_mask int"
+    )
 
 
 def _read_turtle_lines(
@@ -696,13 +771,17 @@ def _read_turtle_lines(
     the single scan is one materialization of the PARSED triples (much
     smaller than the raw text), not a second pass over the corpus.
 
-    Prefix scope caveat (ADVICE r3): the collected prefix table is WHOLE-
-    FILE-scoped and last-wins — a statement textually before a later
-    ``@prefix`` declaration (or a re-declaration of the same label with a
-    different IRI) expands with the final mapping, diverging from Turtle's
-    declaration-ordered semantics. Statement-per-line corpora declare
-    prefixes once up front, where the two semantics coincide; conflicting
-    re-declarations are surfaced by :func:`scan_turtle_errors`. Explicit
+    Prefix scope (ADVICE r3, review r5): declarations are collected PER
+    FILE and last-wins within a file — a statement textually before a
+    later ``@prefix`` line of the SAME file expands with the final
+    mapping (statement-per-line corpora declare prefixes once up front,
+    where the semantics coincide; within-file conflicts are surfaced by
+    :func:`scan_turtle_errors`). Across files: when all files' tables
+    agree they merge into ONE Catalyst expansion (a prefix declared only
+    in file A also expands in file B — the documented last-wins
+    divergence); when files DISAGREE on a label, expansion switches to
+    file-keyed expressions so each file's pnames expand against its own
+    declarations instead of an arbitrary collect-order winner. Explicit
     ``_:label`` blank nodes are remapped into a per-FILE namespace (labels
     are document-scoped; ``_:b0`` in two files must not merge)."""
     import pandas as pd
@@ -717,15 +796,52 @@ def _read_turtle_lines(
     if not expand_prefixes:
         return parsed.filter(F.col("kind") == "t").select(*_TRIPLE_COLS)
     parsed = parsed.localCheckpoint(eager=True)
-    prefixes = {
-        r["s"]: r["o"]
-        for r in parsed.filter(F.col("kind") == "p").select("s", "o").collect()
-    }
-    return parsed.filter(F.col("kind") == "t").select(
-        _expand_col("s", 1, prefixes),
-        _expand_col("p", 2, prefixes),
-        _expand_col("o", 4, prefixes),
-        _expand_col("o_datatype", 8, prefixes),
+    per_file: dict[str, dict[str, str]] = {}
+    for r in (
+        parsed.filter(F.col("kind") == "p").select("file", "s", "o").collect()
+    ):
+        per_file.setdefault(r["file"], {})[r["s"]] = r["o"]
+    merged: dict[str, str] = {}
+    conflict = False
+    for d in per_file.values():
+        for pfx, iri in d.items():
+            if merged.setdefault(pfx, iri) != iri:
+                conflict = True
+    triples_only = parsed.filter(F.col("kind") == "t")
+    if not conflict:
+        return triples_only.select(
+            _expand_col("s", 1, merged),
+            _expand_col("p", 2, merged),
+            _expand_col("o", 4, merged),
+            _expand_col("o_datatype", 8, merged),
+            F.col("o_lang"),
+        )
+    n_branches = sum(len(d) for d in per_file.values())
+    if n_branches > 1024:
+        raise ValueError(
+            f"{len(per_file)} files declare CONFLICTING prefix tables "
+            f"({n_branches} file-scoped declarations — too many for "
+            "expression-level expansion); read the files separately or "
+            "use document mode"
+        )
+
+    def expand_per_file(name: str, bit: int):
+        col = F.col(name)
+        marked = F.col("pn_mask").bitwiseAND(F.lit(bit)) != 0
+        expr = col
+        for f, d in per_file.items():
+            for pfx, iri in d.items():
+                expr = F.when(
+                    marked & (F.col("file") == f) & col.startswith(pfx + ":"),
+                    F.concat(F.lit(iri), F.substring(col, len(pfx) + 2, 2147483647)),
+                ).otherwise(expr)
+        return expr.alias(name)
+
+    return triples_only.select(
+        expand_per_file("s", 1),
+        expand_per_file("p", 2),
+        expand_per_file("o", 4),
+        expand_per_file("o_datatype", 8),
         F.col("o_lang"),
     )
 
@@ -1487,10 +1603,7 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         else "parquet"
     )
     if fmt == "ntriples":
-        lines = spark.read.text(path).withColumn("__file", F.input_file_name())
-        if _should_respread(spark, path):
-            lines = lines.repartition(spark.sparkContext.defaultParallelism)
-        return ntriples_from_lines(lines, file_col="__file")
+        return read_ntriples(spark, path)
     if fmt == "turtle":
         return read_turtle(spark, path, chunk_bytes=turtle_doc_chunk_bytes(spark, path))
     if fmt == "turtle-lines":
@@ -1507,6 +1620,14 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         from .jsonld import read_jsonld_lines
 
         return read_jsonld_lines(spark, path)
+    if fmt != "parquet":
+        # an explicit-but-unknown fmt must not silently fall through to a
+        # parquet read of RDF text (review r5: fmt='nt' — rdflib's name —
+        # produced a baffling schema-inference failure)
+        raise ValueError(
+            f"unknown fmt {fmt!r}: expected one of ntriples|turtle|"
+            "turtle-lines|rdfxml|jsonld|jsonld-lines|parquet"
+        )
     return spark.read.parquet(path)
 
 
@@ -1540,7 +1661,9 @@ def route_terminology(triples: DataFrame, prefix_map: dict[str, str]) -> DataFra
 #: standard PN_LOCAL — '#' even starts a comment — so compacting them
 #: would emit statements rdflib/standard parsers truncate or reject;
 #: such IRIs stay <bracketed> instead.
-_PN_LOCAL_OK = r"^([\w-]+(\.[\w-]+)*)?$"
+#: first char must not be '-' (PN_LOCAL starts with PN_CHARS_U/digit/':',
+#: review r5 — 'ex:-x' is unparseable by standard Turtle parsers)
+_PN_LOCAL_OK = r"^((?!-)[\w-]+(\.[\w-]+)*)?$"
 
 
 def _render_resource(col: Column, prefixes: dict[str, str] | None) -> Column:
@@ -1690,7 +1813,10 @@ def normalize_triples_schema(triples: DataFrame) -> DataFrame:
     o_lang — idempotent; shared by every document sink."""
     if "subj" in triples.columns:
         triples = triples.withColumnsRenamed(
-            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype"}
+            {"subj": "s", "pred": "p", "obj": "o", "obj_datatype": "o_datatype",
+             # review r5: obj_lang was left dangling, silently dropping
+             # @lang tags from the document sinks that write_ntriples kept
+             "obj_lang": "o_lang"}
         )
     if "o_lang" not in triples.columns:
         triples = triples.withColumn("o_lang", F.lit(None).cast("string"))
@@ -1835,20 +1961,36 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     part-file — and '\r\n' in literals re-reads as '\n' (XML line-end
     normalization). Literals needing byte-exact round-trips belong in the
     N-Triples/Turtle sinks, which escape control characters."""
+    triples = normalize_triples_schema(triples)  # once; grouped_by_subject is idempotent
+    cached: list = []
+    grouped = grouped_by_subject(triples, _cache=cached)
+    try:
+        _write_rdfxml_grouped(grouped, path, mode)
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
+def _write_rdfxml_grouped(grouped: DataFrame, path: str, mode: str) -> None:
     import pandas as pd
     from xml.sax.saxutils import quoteattr
 
-    triples = normalize_triples_schema(triples)  # once; grouped_by_subject is idempotent
-    preds = [r["p"] for r in triples.select("p").distinct().collect()]
+    # predicate-namespace table from the PERSISTED grouped frame, so the
+    # collect hits the cache instead of re-running the whole upstream
+    # plan a second time (review r5)
+    preds = [
+        r["p"]
+        for r in grouped.select(F.explode("po").alias("t"))
+        .select(F.col("t.p").alias("p"))
+        .distinct()
+        .collect()
+    ]
     ns_map: dict[str, str] = {}
     for iri in sorted(preds):
         full = RDF_NS + "type" if iri in ("rdf:type", "a") else iri
         ns, _local = _split_pred_iri(full)
         if ns != RDF_NS:
             ns_map.setdefault(ns, f"ns{len(ns_map) + 1}")
-
-    cached: list = []
-    grouped = grouped_by_subject(triples, _cache=cached)
     xmlns = "".join(
         f'\n         xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_map.items(), key=lambda kv: kv[1])
     )
@@ -1877,11 +2019,7 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         yield pd.DataFrame({"value": [header] if not emitted_header else []})
         yield pd.DataFrame({"value": ["</rdf:RDF>"]})
 
-    try:
-        grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
-    finally:
-        for df in cached:
-            df.unpersist()
+    grouped.mapInPandas(render, schema="value string").write.mode(mode).text(path)
 
 
 def write_ntriples(

@@ -1238,3 +1238,122 @@ def test_cross_format_sink_reader_equivalence(spark, tmp_path):
     expected = _norm_bnodes(set(rows))
     for fmt, frame in outs.items():
         assert canon(frame) == expected, fmt
+
+
+def test_ntriples_trailing_comment_and_uchar(spark, tmp_path):
+    """Review r5: (a) spec-legal trailing comments after the '.' must not
+    drop the statement; (b) \\uXXXX/\\UXXXXXXXX escapes decode (classic
+    ASCII-clean dumps), including in IRIs; (c) an ESCAPED backslash before
+    'u' is NOT double-decoded."""
+    f = tmp_path / "u.nt"
+    f.write_text(
+        '<http://e/s> <http://e/p> "caf\\u00E9" . # provenance note\n'
+        '<http://e/s\\u00E9> <http://e/p> <http://e/o> .\n'
+        '<http://e/s> <http://e/big> "\\U0001F600" .\n'
+        '<http://e/s> <http://e/r> "mixed \\\\u0041 and \\u0041" .\n'
+    )
+    rows = {tuple(r) for r in read_ntriples(spark, str(f)).collect()}
+    assert ("http://e/s", "http://e/p", "café", "xsd:string", None) in rows
+    assert ("http://e/sé", "http://e/p", "http://e/o", None, None) in rows
+    assert ("http://e/s", "http://e/big", "\U0001F600", "xsd:string", None) in rows
+    assert ("http://e/s", "http://e/r", "mixed \\u0041 and A", "xsd:string", None) in rows
+    assert scan_errors(spark, str(f)).count() == 0
+    # Turtle/N-Triples parity on the escaped literal (the divergence that
+    # silently missed joins between .nt- and .ttl-sourced triples)
+    g = tmp_path / "u.ttl"
+    g.write_text('<http://e/s> <http://e/p> "caf\\u00E9" .\n')
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    t = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, str(g)).collect()}
+    assert ("http://e/s", "http://e/p", "café") in t
+
+
+def test_read_rdf_rejects_unknown_fmt(spark, tmp_path):
+    import pytest
+
+    from rdf_i2b2_converter_spark.sources.rdf import read_rdf
+
+    f = tmp_path / "g.nt"
+    f.write_text("<http://e/a> <http://e/p> <http://e/o> .\n")
+    with pytest.raises(ValueError, match="unknown fmt"):
+        read_rdf(spark, str(f), fmt="nt")  # rdflib's name, not ours
+
+
+def test_turtle_writer_brackets_leading_dash_local(spark, tmp_path):
+    """Review r5: PN_LOCAL cannot start with '-'; such IRIs must stay
+    <bracketed> rather than compact to an unparseable 'ex:-x'."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, write_turtle
+
+    df = spark.createDataFrame(
+        [("http://ex#-x", "http://ex#p", "http://ex#ok", None, None)],
+        "s string, p string, o string, o_datatype string, o_lang string",
+    )
+    out = str(tmp_path / "dash")
+    write_turtle(df, out, prefixes={"ex": "http://ex#"})
+    import glob
+
+    text = "".join(open(p).read() for p in glob.glob(f"{out}/part-*"))
+    assert "ex:-x" not in text and "<http://ex#-x>" in text
+    assert "ex:ok" in text  # normal locals still compact
+    back = {(r["s"], r["p"], r["o"]) for r in read_turtle(spark, out).collect()}
+    assert back == {("http://ex#-x", "http://ex#p", "http://ex#ok")}
+
+
+def test_turtle_lines_prefix_with_comment_and_per_file_scope(spark, tmp_path):
+    """Review r5: (a) a commented @prefix directive still lands in the
+    line-mode expansion table; (b) files with CONFLICTING prefix tables
+    expand each against their own declarations, not an arbitrary winner."""
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle
+
+    d = tmp_path / "pf"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://a#> . # namespace of corpus A\n"
+        "ex:s ex:p ex:o .\n"
+    )
+    (d / "b.ttl").write_text(
+        "@prefix ex: <http://b#> .\n"
+        "ex:s ex:p ex:o .\n"
+    )
+    rows = {
+        (r["s"], r["p"], r["o"])
+        for r in read_turtle(spark, str(d), multiline=False).collect()
+    }
+    assert ("http://a#s", "http://a#p", "http://a#o") in rows
+    assert ("http://b#s", "http://b#p", "http://b#o") in rows
+    assert len(rows) == 2
+
+
+def test_document_sinks_keep_emission_schema_lang(spark, tmp_path):
+    """Review r5: obj_lang (the emission-schema spelling) must survive the
+    document sinks' schema normalization, not silently drop."""
+    from rdf_i2b2_converter_spark.sources.jsonld import read_jsonld_lines, write_jsonld
+    from rdf_i2b2_converter_spark.sources.rdf import read_turtle, write_turtle
+
+    df = spark.createDataFrame(
+        [("kg:a", "kg:label", "bonjour", "xsd:string", "fr", 0)],
+        "subj string, pred string, obj string, obj_datatype string, obj_lang string, part_id int",
+    )
+    write_turtle(df, str(tmp_path / "t"))
+    t = read_turtle(spark, str(tmp_path / "t")).collect()
+    assert [(r["o"], r["o_lang"]) for r in t] == [("bonjour", "fr")]
+    write_jsonld(df, str(tmp_path / "j"))
+    j = read_jsonld_lines(spark, str(tmp_path / "j")).collect()
+    assert [(r["o"], r["o_lang"]) for r in j] == [("bonjour", "fr")]
+
+
+def test_read_ntriples_direct_respreads_compressed_single_file(spark, tmp_path):
+    """Review r5: the DIRECT front door carries the same unsplittable-codec
+    respread guard as read_rdf (the two used to drift)."""
+    import gzip
+    import warnings as w
+
+    big = "".join(f"<http://e/s{i}> <http://e/p> <http://e/o> .\n" for i in range(500))
+    f = tmp_path / "one.nt.gz"
+    with gzip.open(f, "wt") as fh:
+        fh.write(big)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        df = read_ntriples(spark, str(f))
+        assert any("unsplittable" in str(c.message) for c in caught)
+    assert df.count() == 500
