@@ -30,7 +30,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with a zero-norm guard: an all-zero vector (a
+    common padding / failed-encode artifact) used to yield 0.0/0.0 — NaN
+    without ANSI (which Spark sorts ABOVE every number: rank-1 pollution
+    and a universal pass of >= threshold filters), a DIVIDE_BY_ZERO job
+    failure under Spark 4's default ANSI mode (review r5). try_divide +
+    coalesce maps it to -2.0, below any real cosine — the same convention
+    as the driver-side _probe_cids mirror."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(-2.0)
+    )
 
 
 def brute_force_topk(
@@ -43,11 +52,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector: map-side score (the
     query broadcasts as a literal array), then a single ordered take —
-    Spark's sort-based TakeOrderedAndProject, no full sort shuffle."""
+    Spark's sort-based TakeOrderedAndProject, no full sort shuffle.
+
+    Rows whose vector length differs from the query's are EXCLUDED (a
+    mixed-model corpus would otherwise null-pad through zip_with into
+    silent NULL scores, review r5); the query's own norm is computed once
+    driver-side instead of re-folding the literal array per row."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    qn = sum(x * x for x in query_vec) ** 0.5
+    v = F.col(vec_col).cast("array<double>")
+    sim = F.coalesce(
+        F.try_divide(_dot(v, q), _norm(v) * F.lit(float(qn))), F.lit(-2.0)
+    )
+    scored = df.filter(F.size(F.col(vec_col)) == len(query_vec)).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_digits).alias("cos_sim"),
+        F.round(sim, round_digits).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -241,6 +260,13 @@ def query_ann_index(
                 "(bucket encoding would not be comparable)"
             )
 
+    if hamming_radius > 2:
+        raise ValueError(
+            f"hamming_radius {hamming_radius} not supported: probe expansion "
+            "enumerates radius <= 2 (a larger radius would silently return "
+            "radius-2 recall, review r5); use more bands for higher recall"
+        )
+
     def _expand(sig: int, width: int, base: int) -> list[int]:
         out = [base | sig]
         if hamming_radius >= 1:
@@ -297,30 +323,57 @@ def cosine_near_dup_pairs(
         else F.lit(0).cast("long")
     )
     d2 = df.select(F.col(id_col), F.col(vec_col), blk.alias("__blk"))
-    counts = d2.groupBy("__blk").agg(
+    pairs = _blocked_pair_grid(d2, "__blk", id_col, vec_col, max_block).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    # threshold on the UNROUNDED cosine (rounding first would admit pairs up
+    # to half an ulp-of-round below threshold); round only the emitted column
+    scored = pairs.select("id_a", "id_b", _pair_cosine().alias("__cos"))
+    return scored.filter(F.col("__cos") >= threshold).select(
+        "id_a", "id_b", F.round(F.col("__cos"), round_digits).alias("cos_sim")
+    )
+
+
+def _blocked_pair_grid(
+    d2: DataFrame, block_col: str, id_col: str, vec_col: str, max_block: int
+) -> DataFrame:
+    """The shared B x B skew-split pair grid (review r5: previously
+    copy-pasted between cosine_near_dup_pairs and pairwise_topk_per_label):
+    within each block, rows pair all-against-all, but blocks larger than
+    ``max_block`` split into B = ceil(n/max_block) deterministic hash
+    sub-buckets; the a-side replicates each row B times keyed
+    (bucket(a), j), the b-side keyed (i, bucket(b)), so every pair meets
+    exactly once in task (bucket(a), bucket(b)) — exact results, bounded
+    per-task memory. Per-row norms are computed ONCE per side here
+    (``__n_a``/``__n_b``), cutting the per-pair array folds from three to
+    one; score pairs with :func:`_pair_cosine`."""
+    v = F.col(vec_col).cast("array<double>")
+    d3 = d2.select(F.col(block_col), F.col(id_col), v.alias("__v"), _norm(v).alias("__n"))
+    counts = d3.groupBy(block_col).agg(
         F.ceil(F.count("*") / F.lit(max_block)).cast("int").alias("__nb")
     )
-    sized = d2.join(F.broadcast(counts), "__blk")
+    sized = d3.join(F.broadcast(counts), block_col)
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
     grid = F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
     a = sized.select(
-        "__blk", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-        bucket.alias("__pa"), grid.alias("__pb"),
+        block_col, F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"),
+        F.col("__n").alias("__n_a"), bucket.alias("__pa"), grid.alias("__pb"),
     )
     b = sized.select(
-        "__blk", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        grid.alias("__pa"), bucket.alias("__pb"),
+        block_col, F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"),
+        F.col("__n").alias("__n_b"), grid.alias("__pa"), bucket.alias("__pb"),
     )
-    pairs = a.join(b, ["__blk", "__pa", "__pb"]).filter(F.col("id_a") < F.col("id_b"))
-    # threshold on the UNROUNDED cosine (rounding first would admit pairs up
-    # to half an ulp-of-round below threshold); round only the emitted column
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")).alias("__cos"),
-    )
-    return scored.filter(F.col("__cos") >= threshold).select(
-        "id_a", "id_b", F.round(F.col("__cos"), round_digits).alias("cos_sim")
+    return a.join(b, [block_col, "__pa", "__pb"])
+
+
+def _pair_cosine() -> Column:
+    """Pair score over _blocked_pair_grid output: one dot fold per pair,
+    precomputed norms, zero-norm pairs mapped to -2.0 (see cosine)."""
+    return F.coalesce(
+        F.try_divide(
+            _dot(F.col("v_a"), F.col("v_b")), F.col("__n_a") * F.col("__n_b")
+        ),
+        F.lit(-2.0),
     )
 
 
@@ -346,28 +399,20 @@ def pairwise_topk_per_label(
     not sampling), bounds per-task memory, and costs B x replication only
     for the oversized labels; when every label fits, B=1 everywhere and
     the plan degenerates to the plain label equi-join."""
-    counts = df.groupBy(label_col).agg(
-        F.ceil(F.count("*") / F.lit(max_block)).cast("int").alias("__nb")
+    pairs = _blocked_pair_grid(df, label_col, id_col, vec_col, max_block).filter(
+        F.col("id_a") != F.col("id_b")
     )
-    sized = df.join(F.broadcast(counts), label_col)
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
-    grid = F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
-    a = sized.select(
-        F.col(label_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-        bucket.alias("__pa"), grid.alias("__pb"),
-    )
-    b = sized.select(
-        F.col(label_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        grid.alias("__pa"), bucket.alias("__pb"),
-    )
-    pairs = a.join(b, [label_col, "__pa", "__pb"]).filter(F.col("id_a") != F.col("id_b"))
     scored = pairs.select(
         label_col,
         "id_a",
         "id_b",
-        F.round(cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")), 6).alias("cos_sim"),
+        F.round(_pair_cosine(), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    # partition by (label, id): an id appearing under several labels gets
+    # top-k PER LABEL, not one merged top-k (review r5)
+    w = Window.partitionBy(label_col, "id_a").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b").asc()
+    )
     return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
 
 
@@ -406,6 +451,16 @@ def ivf_train(
     spark = df.sparkSession
     centroids = [_hyperplane(dim, 10_000 + c) for c in range(n_centroids)]
     v = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    # declared-dim check (one cheap agg): ragged or wrong-length vectors
+    # would otherwise zero-fill centroid tails each iteration and train
+    # 'successfully' against silently-wrong geometry (review r5)
+    sz = v.agg(
+        F.min(F.size("__v")).alias("lo"), F.max(F.size("__v")).alias("hi")
+    ).collect()[0]
+    if sz["lo"] is not None and (sz["lo"] != dim or sz["hi"] != dim):
+        raise ValueError(
+            f"ivf_train: vector lengths [{sz['lo']}, {sz['hi']}] != declared dim {dim}"
+        )
     for _ in range(n_iters):
         cdf = _centroid_df(spark, centroids)
         # groupBy(__v) collapses identical vectors to ONE group; the crossJoin

@@ -302,3 +302,87 @@ def test_ivf_train_weights_duplicates(spark):
     # weighted mean: (50*[1,0] + [0.8,0.2]) / 51
     assert abs(cents[0][0] - (50 * 1.0 + 0.8) / 51) < 1e-9
     assert abs(cents[0][1] - 0.2 / 51) < 1e-9
+
+
+def test_zero_vector_never_ranks_first(spark):
+    """Review r5: an all-zero embedding (failed-encode artifact) used to
+    score NaN, which Spark sorts ABOVE every number — rank-1 pollution and
+    a universal threshold pass. It must rank last / never pass."""
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_near_dup_pairs,
+        pairwise_topk_per_label,
+    )
+
+    rows = [(0, [0.0, 0.0, 0.0], "x"), (1, [1.0, 0.0, 0.0], "x"),
+            (2, [0.9, 0.1, 0.0], "x"), (3, [0.0, 1.0, 0.0], "x")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    top = brute_force_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
+    pairs = cosine_near_dup_pairs(df, threshold=0.5).collect()
+    assert all(0 not in (r["id_a"], r["id_b"]) for r in pairs)
+    knn = pairwise_topk_per_label(df, k=1).collect()
+    nn_of_1 = next(r for r in knn if r["id_a"] == 1)
+    assert nn_of_1["id_b"] == 2  # not the zero vector
+
+
+def test_brute_force_topk_excludes_mismatched_dims(spark):
+    from rdf_i2b2_converter_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])]  # mixed-model corpus
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = brute_force_topk(df, [1.0, 0.0], k=5).collect()
+    assert [r["vec_id"] for r in got] == [1]
+    assert got[0]["cos_sim"] is not None
+
+
+def test_per_label_topk_partitions_by_label_and_id(spark):
+    """Review r5: an id under TWO labels gets top-k per label, not one
+    merged top-k."""
+    from rdf_i2b2_converter_spark.operators.similarity import pairwise_topk_per_label
+
+    rows = [
+        (7, [1.0, 0.0], "A"), (8, [0.9, 0.1], "A"), (9, [0.8, 0.2], "A"),
+        (7, [0.0, 1.0], "B"), (10, [0.1, 0.9], "B"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = pairwise_topk_per_label(df, k=1).collect()
+    by = {(r["label"], r["id_a"]): r["id_b"] for r in got}
+    assert by[("A", 7)] == 8 and by[("B", 7)] == 10
+
+
+def test_query_ann_index_rejects_radius_over_2(spark, tmp_path):
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.similarity import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    build_ann_index(df, path, dim=2, n_planes=4)
+    with pytest.raises(ValueError, match="hamming_radius"):
+        query_ann_index(spark, path, [1.0, 1.0], n_planes=4, hamming_radius=3)
+
+
+def test_ivf_train_rejects_ragged_vectors(spark):
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.similarity import ivf_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],  # ragged
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="vector lengths"):
+        ivf_train(df, dim=3, n_centroids=2, n_iters=1)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(ivf_train(ok, dim=3, n_centroids=2, n_iters=1)) == 2
