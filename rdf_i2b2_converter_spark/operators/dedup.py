@@ -33,14 +33,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     must sort-shuffle every row within each fingerprint partition. Same
     argmin pattern as mentions.link_mentions; at 10^12 rows it is the
     difference between shuffling one row per distinct document and
-    shuffling the whole corpus."""
+    shuffling the whole corpus.
+
+    NULL-text rows pass through UNTOUCHED (review r5): md5(NULL) is NULL
+    for all of them, and a plain groupBy would put every null fingerprint
+    in ONE group — silently dropping every null-text document but one as
+    'duplicates' with no comparable content."""
     cols = df.columns
-    return (
-        df.withColumn("__fp", fingerprint(F.col(text_col)))
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    kept = (
+        with_fp.filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__first"))
         .select("__first.*")
     )
+    passthrough = with_fp.filter(F.col("__fp").isNull()).drop("__fp")
+    return kept.unionByName(passthrough)
 
 
 # --------------------------------------------------------------- MinHash
@@ -66,13 +74,23 @@ def minhash_signature(
     fingerprinted with it. Adds ``minhash: array<string>``."""
     sh = shingles(F.col(text_col), k)
     if scheme == "md5":
+        # bind the shingle array as a REAL column first — n_hashes sibling
+        # array_min(transform(..)) expressions would otherwise each
+        # re-evaluate the whole tokenize+shingle HOF chain (review r5: the
+        # same re-evaluation trap the km branch below documents and fixes)
         sig = F.array(
             *[
-                F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+                F.array_min(
+                    F.transform(
+                        F.col("__mh_sh"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+                    )
+                )
                 for i in range(n_hashes)
             ]
         )
-        return df.withColumn("minhash", sig)
+        return (
+            df.withColumn("__mh_sh", sh).withColumn("minhash", sig).drop("__mh_sh")
+        )
     if scheme != "km":
         raise ValueError(f"unknown minhash scheme {scheme!r} (use 'km' or 'md5')")
     if n_hashes > 512:
@@ -137,9 +155,28 @@ def lsh_candidate_pairs(
     buckets — candidates are a recall vehicle, not an exact relation.
     None disables the cap. The cap is fully declarative (no extra Spark
     job when nothing is clipped); ``log_clips=True`` opts into one small
-    eager agg that WARN-logs what was star-linked."""
+    eager agg that WARN-logs what was star-linked.
+
+    Docs with FEWER THAN k tokens have no shingles and are EXCLUDED from
+    candidate generation (review r5: their all-null signatures used to
+    concat_ws-skip into the same md5('') bucket — a corpus-wide
+    false-candidate clique of every short doc, diverging from the DuckDB
+    oracle and feeding guaranteed-empty pairs to jaccard verification).
+    Short docs are exact-dedup territory (fingerprint), not shingle-LSH."""
+    if n_bands < 1 or n_hashes % n_bands != 0:
+        # review r5: n_bands > n_hashes made rows_per_band 0 — EVERY band
+        # key md5('') and the whole corpus one bucket; non-divisible
+        # inputs silently ignored trailing signature positions
+        raise ValueError(
+            f"n_bands {n_bands} must divide n_hashes {n_hashes} "
+            "(rows_per_band = n_hashes / n_bands)"
+        )
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, text_col, k, n_hashes, scheme=scheme).select(id_col, "minhash")
+    sig = (
+        minhash_signature(df, text_col, k, n_hashes, scheme=scheme)
+        .select(id_col, "minhash")
+        .filter(F.col("minhash")[0].isNotNull())
+    )
     # materialize before the self-join: joining on COMPUTED columns makes
     # Catalyst lose the equi-keys and fall back to a nested-loop plan;
     # checkpointed attributes give a plain shuffled hash join.
@@ -282,7 +319,11 @@ def jaccard_pairs(
     """Exact k-token-shingle Jaccard for candidate pairs (verification stage
     after LSH): |A∩B| / |A∪B| via array_intersect/union on distinct
     shingle sets. Join order: pairs (small) x docs twice, both joins on id —
-    text is only shuffled for docs that appear in a candidate pair."""
+    text is only shuffled for docs that appear in a candidate pair.
+
+    A pair where BOTH docs have no shingles (< k tokens) has an empty
+    union; jaccard is NULL for it (undefined — review r5: the division
+    used to kill the job under Spark 4's default ANSI mode)."""
     sh = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
     )
@@ -293,8 +334,10 @@ def jaccard_pairs(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
+                ),
                 4,
             ).alias("jaccard"),
         )

@@ -154,3 +154,56 @@ def test_lsh_giant_bucket_cap_prevents_pair_blowup(spark):
     # uncapped on the same corpus really is the n^2 blowup the cap prevents
     uncapped = lsh_candidate_pairs(df, n_hashes=8, n_bands=4, max_bucket_size=None)
     assert uncapped.count() >= 1000 * 999 // 2
+
+
+def test_exact_dedup_null_text_passthrough(spark):
+    """Review r5: null-text docs must NOT collapse into one 'duplicate'
+    group (md5(NULL) is NULL for all of them)."""
+    from rdf_i2b2_converter_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_lsh_short_docs_never_pair(spark):
+    """Review r5: docs with < k tokens (all-null signatures) used to land
+    in one md5('') bucket and pair with EVERY other short doc."""
+    from rdf_i2b2_converter_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(1, "alpha"), (2, "zebra quux"), (3, "x"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(df, k=3, n_hashes=4, n_bands=2).collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_lsh_rejects_bad_band_split(spark):
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, n_hashes=4, n_bands=8)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, n_hashes=16, n_bands=5)
+
+
+def test_jaccard_empty_shingle_pair_is_null_not_crash(spark):
+    """Review r5: a candidate pair where both docs have no shingles used
+    to DIVIDE_BY_ZERO under Spark 4 ANSI; jaccard is NULL (undefined)."""
+    from rdf_i2b2_converter_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (3, "x"), (4, "a b c d e"), (5, "a b c d f")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 3), (4, 5)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_pairs(docs, pairs, k=3).collect()}
+    assert got[(1, 3)] is None
+    assert got[(4, 5)] is not None and got[(4, 5)] > 0
