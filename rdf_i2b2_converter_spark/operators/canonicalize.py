@@ -99,6 +99,15 @@ def connected_components(
     driver-synchronous Spark rounds cost far more than collecting a few MB.
     Large graphs run the distributed large-star/small-star loop.
     """
+    # every endpoint of the RAW input, self-loop-only nodes included —
+    # the u != v filter below would otherwise drop a node whose only
+    # edges are self-loops from the mapping entirely (review r5),
+    # breaking the 'includes every endpoint' contract for inner-joiners
+    raw_nodes = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
     e = (
         edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .unionByName(edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v")))
@@ -108,12 +117,19 @@ def connected_components(
     )
     n_edges = e.count()
     if n_edges == 0:
-        return edges.sparkSession.createDataFrame([], "id string, component string")
-    if n_edges < driver_threshold:
-        return _driver_union_find(e)
-    all_nodes = e.select(F.col("u").alias("id")).distinct()
+        return raw_nodes.select("id", F.col("id").alias("component"))
+    # e is SYMMETRIZED (both directions), so compare against 2x the
+    # documented per-input-edge threshold (review r5: the cutoff was
+    # silently half of what callers tuned)
+    if n_edges < 2 * driver_threshold:
+        m = _driver_union_find(e)
+        singles = raw_nodes.join(m.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        return m.unionByName(singles)
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = e.agg(
@@ -122,16 +138,30 @@ def connected_components(
         ).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev_sig:
+            converged = True
             break
         prev_sig = cur
+    if not converged:
+        # a mid-convergence edge set can carry several (u, v) rows per u,
+        # which downstream joins would fan out as silent row duplication —
+        # fail loudly instead of returning a corrupt mapping (review r5)
+        raise ValueError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds (the star algorithm needs "
+            "O(log n)..O(log^2 n) rounds)"
+        )
 
     # converged star graph: every edge is (member, root)
     mapping = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = mapping.select(F.col("component").alias("id"), F.col("component"))
-    singles = all_nodes.join(mapping.select("id"), "id", "left_anti").join(
+    singles = raw_nodes.join(mapping.select("id"), "id", "left_anti").join(
         roots.select("id"), "id", "left_anti"
     ).select("id", F.col("id").alias("component"))
-    return mapping.unionByName(roots.distinct()).unionByName(singles).distinct()
+    # the three branches are provably disjoint (mapping: id != component;
+    # roots: id == component; singles: anti-joined against both) and each
+    # internally distinct — a trailing .distinct() would be a redundant
+    # full shuffle of a potentially 10^9-row mapping (review r5)
+    return mapping.unionByName(roots.distinct()).unionByName(singles)
 
 
 def apply_canonical(df: DataFrame, mapping: DataFrame, id_col: str, out_col: str | None = None) -> DataFrame:
@@ -143,6 +173,8 @@ def apply_canonical(df: DataFrame, mapping: DataFrame, id_col: str, out_col: str
     alias-connected entity and can be 10^9 rows at web scale; AQE
     broadcasts it at runtime when it is actually small and otherwise
     shuffles with skew-splitting — the same policy as emit_triples."""
+    if "__canon" in df.columns:
+        raise ValueError("apply_canonical: input already has a __canon column")
     out_col = out_col or id_col
     m = mapping.select(F.col("id").alias(id_col), F.col("component").alias("__canon"))
     return (
@@ -176,6 +208,9 @@ def refine_clusters(linked: DataFrame, group_col: str = "component") -> DataFram
        giant-component partition otherwise; no driver-side assumption about
        the number of components.
     """
+    clash = {"__grp", "rep_surface"} & set(linked.columns)
+    if clash:
+        raise ValueError(f"refine_clusters: input already has column(s) {sorted(clash)}")
     totals = (
         linked.filter(F.col("surface").isNotNull())  # pandas groupby drops NaN keys
         .groupBy(group_col, "surface")
@@ -199,12 +234,22 @@ def refine_clusters(linked: DataFrame, group_col: str = "component") -> DataFram
 
 
 def salt_keys(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Explicit hot-key salting for head entities: adds ``__salt`` derived
-    deterministically from a uniform column hash. Aggregations run
-    (key, __salt) partial then key final — two short shuffles instead of one
-    skewed one. AQE skew-join handles the join side; this handles groupBy.
-    """
-    return df.withColumn("__salt", F.pmod(F.xxhash64(key_col, F.lit(42)), F.lit(n_buckets)))
+    """Explicit hot-key salting for head entities: adds ``__salt``.
+    Aggregations run (key, __salt) partial then key final — two short
+    shuffles instead of one skewed one. AQE skew-join handles the join
+    side; this handles groupBy.
+
+    The salt MUST NOT be a function of the key (review r5: a key-hash
+    salt gives every row of a hot key the SAME salt — a no-op that keeps
+    the skewed reducer while paying a second shuffle). It is derived from
+    the row's physical position (monotonically_increasing_id), which
+    spreads a hot key's rows across all ``n_buckets`` partial groups;
+    salt VALUES vary across retries/partitionings, which is safe because
+    the salt only routes rows — any per-key aggregate is identical for
+    every salt assignment."""
+    return df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_buckets))
+    )
 
 
 def salted_count(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:

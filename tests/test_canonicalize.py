@@ -158,3 +158,67 @@ def test_refine_clusters_null_component_group(spark):
            for r in refine_clusters(df).collect()}
     assert got[(None, "x")] == "y" and got[(None, "y")] == "y"
     assert got[("c1", "a")] == "a"
+
+
+def test_salt_actually_spreads_hot_keys(spark):
+    """Review r5: a key-derived salt gave every row of a hot key the SAME
+    salt — a no-op that kept the skewed reducer. The salt must spread one
+    key's rows across multiple partial groups."""
+    from rdf_i2b2_converter_spark.operators.canonicalize import salt_keys, salted_count
+
+    hot = spark.createDataFrame([("k", i) for i in range(1000)], "key string, v long")
+    n_salts = salt_keys(hot.repartition(8), "key").select("__salt").distinct().count()
+    assert n_salts > 1, "hot key landed in a single salt bucket — salting is a no-op"
+    got = salted_count(hot, "key").collect()
+    assert [(r["key"], r["n"]) for r in got] == [("k", 1000)]
+
+
+def test_cc_self_loop_only_node_kept(spark):
+    """Review r5: a node whose only edges are self-loops must still appear
+    in the mapping (as its own component)."""
+    from rdf_i2b2_converter_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("b", "c")], "src_id string, dst_id string"
+    )
+    got = {(r["id"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "b")}
+    # pure-self-loop graph: every node maps to itself
+    only = spark.createDataFrame([("x", "x")], "src_id string, dst_id string")
+    assert {(r["id"], r["component"]) for r in connected_components(only).collect()} == {("x", "x")}
+
+
+def test_cc_raises_instead_of_corrupt_on_no_convergence(spark):
+    """Review r5: exhausting max_rounds must fail loudly, not return a
+    mid-convergence multi-parent mapping."""
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.canonicalize import connected_components
+
+    # long chain forced down the distributed path with 1 round: cannot converge
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)],
+        "src_id string, dst_id string",
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_rounds=1, driver_threshold=1)
+
+
+def test_refine_and_apply_reject_colliding_columns(spark):
+    import pytest
+
+    from rdf_i2b2_converter_spark.operators.canonicalize import (
+        apply_canonical,
+        refine_clusters,
+    )
+
+    mapping = spark.createDataFrame([("a", "a")], "id string, component string")
+    bad = spark.createDataFrame([("a", "x")], "eid string, __canon string")
+    with pytest.raises(ValueError, match="__canon"):
+        apply_canonical(bad, mapping, "eid")
+    bad2 = spark.createDataFrame(
+        [("c1", "s", 1, "r")],
+        "component string, surface string, n_occurrences long, rep_surface string",
+    )
+    with pytest.raises(ValueError, match="rep_surface"):
+        refine_clusters(bad2)
