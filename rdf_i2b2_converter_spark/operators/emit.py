@@ -134,7 +134,7 @@ def emit_triples(
     ).select("subj", "t.pred", "t.obj", "t.obj_datatype", "source_url")
     # D1 distinct (remove_duplicates, src/utils.py:252-257). Callers whose
     # input is already unique per (url, surface) — link_mentions guarantees
-    # this via its row_number — should pass dedup=False: the exploded
+    # this via its min_by groupBy aggregate — should pass dedup=False: the exploded
     # triples are then distinct by construction and skipping the dedup
     # avoids a full-width shuffle of every emitted triple (the single
     # largest shuffle in the pipeline at 10^12 scale; dedup early on the

@@ -74,7 +74,15 @@ class TokenAhoCorasick:
                 f = self.fail[r]
                 while f and tok not in self.goto[f]:
                     f = self.fail[f]
-                self.fail[u] = self.goto[f].get(tok, 0) if self.goto[f].get(tok, 0) != u else 0
+                # (goto[f].get(tok) can never equal u: fail links are
+                # strictly shallower than their node — review r5 removed a
+                # dead '!= u' guard that probed the dict twice)
+                self.fail[u] = self.goto[f].get(tok, 0)
+                # eager output flattening: O(chain^2) entries for nested-
+                # suffix dictionaries, but find() needs NO fail-chain walk
+                # per state — the measured trade for the hot matcher loop
+                # (a suffix-heavy 10^6-surface gazetteer would prefer the
+                # classic output-link; ours are entity surfaces, flat)
                 self.out[u] = self.out[u] + self.out[self.fail[u]]
 
     def find(self, toks: list[str]) -> Iterator[tuple[str, int, int]]:
@@ -88,11 +96,24 @@ class TokenAhoCorasick:
                 yield surface, i - n + 1, i + 1
 
 
-# per-executor automaton cache keyed by CONTENT (hash of the surface tuple):
-# id(bc.value) is unsafe — CPython reuses id() values after GC, so a
-# long-lived executor running jobs with two gazetteers could hit a stale
-# automaton for the wrong surface set
-_AC_CACHE: dict[tuple[int, int], TokenAhoCorasick] = {}
+# per-executor automaton cache keyed by the surface tuple ITSELF (true
+# content equality — review r5: a (len, hash) key could collide between
+# different surface lists and silently reuse the wrong automaton; id(bc.
+# value) is likewise unsafe since CPython reuses id() values after GC).
+# Capacity 2: a long-lived executor serving alternating gazetteers (two
+# streams, A/B jobs) keeps both automatons instead of rebuilding the
+# pure-Python trie on every switch.
+_AC_CACHE: dict[tuple[str, ...], TokenAhoCorasick] = {}
+
+
+def broadcast_surfaces(gazetteer: DataFrame):
+    """Collect + broadcast the gazetteer's distinct surfaces ONCE for
+    reuse across detect_mentions calls — a per-micro-batch stream sink
+    would otherwise re-collect and re-broadcast every epoch and leak one
+    Broadcast per trigger (review r5)."""
+    spark = gazetteer.sparkSession
+    surfaces = sorted({r[0] for r in gazetteer.select("surface").collect()})
+    return spark.sparkContext.broadcast(surfaces)
 
 
 def detect_mentions(
@@ -102,6 +123,7 @@ def detect_mentions(
     repartition_to: int | None = None,
     passthrough_cols: tuple[str, ...] = (),
     counter=None,
+    surfaces_bc=None,
 ) -> DataFrame:
     """pages(text/url) x gazetteer(surface) -> MENTIONS(url, surface,
     begin_pos, end_pos, n_occurrences [, passthrough...]). Token positions
@@ -123,10 +145,13 @@ def detect_mentions(
     Spark accumulator used for metrics).
     """
     spark = pages.sparkSession
-    # dedupe driver-side: a distinct() over a dozen surfaces would spin up a
-    # whole shuffle stage for nothing
-    surfaces = sorted({r[0] for r in gazetteer.select("surface").collect()})
-    bc = spark.sparkContext.broadcast(surfaces)
+    if surfaces_bc is not None:
+        bc = surfaces_bc  # caller-managed reuse (streaming sinks)
+    else:
+        # dedupe driver-side: a distinct() over a dozen surfaces would spin
+        # up a whole shuffle stage for nothing
+        surfaces = sorted({r[0] for r in gazetteer.select("surface").collect()})
+        bc = spark.sparkContext.broadcast(surfaces)
     if repartition_to:
         pages = pages.repartition(repartition_to)
     split_re = re.compile(TOKEN_SPLIT_REGEX)
@@ -141,11 +166,12 @@ def detect_mentions(
     )
 
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = (len(bc.value), hash(tuple(bc.value)))
+        key = tuple(bc.value)
         ac = _AC_CACHE.get(key)
         if ac is None:
             ac = TokenAhoCorasick(bc.value)
-            _AC_CACHE.clear()
+            while len(_AC_CACHE) >= 2:  # bounded, not capacity-1 (review r5)
+                _AC_CACHE.pop(next(iter(_AC_CACHE)))
             _AC_CACHE[key] = ac
         for pdf in batches:
             rows: list[tuple] = []
@@ -161,6 +187,8 @@ def detect_mentions(
                         seen[surface] = [b, e, 1]
                     else:
                         ent[2] += 1
+                if not seen:  # most web pages match nothing — skip the
+                    continue  # per-scalar iloc extraction (review r5)
                 extra_vals = tuple(col.iloc[i] for col in extras)
                 for surface, (b, e, n) in seen.items():
                     rows.append((url, surface, b, e, n) + extra_vals)
@@ -208,12 +236,24 @@ def link_mentions(
         if "lang" in cand.columns
         else F.lit(0.0)
     )
-    cand = cand.withColumn("link_score", F.round(F.col("weight") + lang_prior, 4))
+    # the ORDERING uses the raw score — rounding first would collapse
+    # genuinely different weights into ties and let the canonical_id
+    # tie-break pick the lower-weight candidate (review r5: any weight
+    # gap < 5e-5, routine for learned gazetteers); only the EMITTED
+    # link_score column is rounded
+    raw_score = F.col("weight") + lang_prior
+    cand = cand.withColumn("link_score", F.round(raw_score, 4))
     payload_cols = [c for c in cand.columns if c not in ("url", "surface")]
-    # ordering: highest score, then smallest canonical_id (deterministic,
-    # SURVEY.md §7.4 #3) — struct comparison is lexicographic, so minimize
-    # (-score, canonical_id)
-    order = F.struct((-F.col("link_score")).alias("neg"), F.col("canonical_id").alias("cid"))
+    # ordering: highest raw score, then smallest canonical_id, then the
+    # full remaining payload — two candidate rows identical in (score,
+    # canonical_id) but differing elsewhere (same entity id under two
+    # type hierarchies) must still resolve deterministically
+    # (SURVEY.md §7.4 #3); struct comparison is lexicographic
+    order = F.struct(
+        (-raw_score).alias("neg"),
+        F.col("canonical_id").alias("cid"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(payload_cols)],
+    )
     best = (
         cand.groupBy("url", "surface")
         .agg(F.min_by(F.struct(*payload_cols), order).alias("__best"))

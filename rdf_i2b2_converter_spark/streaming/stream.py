@@ -64,12 +64,18 @@ def run_stream_to_sink(
     source-file-driven batch membership) instead of appending duplicates.
     A plain mode('append') here would NOT be idempotent, deterministic rows
     notwithstanding."""
+    from ..operators.mentions import broadcast_surfaces
+
     stream = read_pages_stream(spark, pages_path)
+    # ONE surface broadcast for the whole stream — a per-epoch
+    # detect_mentions collect would re-broadcast the gazetteer every
+    # trigger and leak one Broadcast object per epoch (review r5)
+    surfaces_bc = broadcast_surfaces(gazetteer)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        mentions = detect_mentions(batch_df, gazetteer)
+        mentions = detect_mentions(batch_df, gazetteer, surfaces_bc=surfaces_bc)
         linked = link_mentions(mentions, gazetteer, batch_df.select("url", "lang"))
         triples = emit_triples(linked, dedup=False)
         (

@@ -59,3 +59,42 @@ def test_linking_unique_per_url_surface(spark, corpus):
     linked = link_mentions(m, corpus["gazetteer"], pages.select("url", "lang"))
     assert linked.groupBy("url", "surface").count().filter(F.col("count") > 1).count() == 0
 
+
+
+def test_link_orders_on_unrounded_score(spark):
+    """Review r5: rounding before the argmax let a 5e-5 weight gap tie and
+    fall through to the canonical_id tie-break, picking the LOWER-weight
+    candidate."""
+    from rdf_i2b2_converter_spark import schemas
+    from rdf_i2b2_converter_spark.operators.mentions import link_mentions
+
+    gaz = spark.createDataFrame(
+        [("x", "kg:T", "ent_a", 0.85209), ("x", "kg:T", "ent_b", 0.85213)],
+        schema=schemas.GAZETTEER,
+    )
+    mentions = spark.createDataFrame(
+        [("u1", "x", 0, 1, 1)],
+        "url string, surface string, begin_pos int, end_pos int, n_occurrences int",
+    )
+    got = link_mentions(mentions, gaz).collect()
+    assert len(got) == 1 and got[0]["canonical_id"] == "ent_b"
+
+
+def test_link_full_payload_tiebreak_deterministic(spark):
+    """Review r5: two candidates identical in (score, canonical_id) but
+    differing in type_uri must resolve deterministically (smallest
+    payload wins lexicographically), at any partitioning."""
+    from rdf_i2b2_converter_spark import schemas
+    from rdf_i2b2_converter_spark.operators.mentions import link_mentions
+
+    gaz = spark.createDataFrame(
+        [("x", "kg:B", "ent", 0.9), ("x", "kg:A", "ent", 0.9)],
+        schema=schemas.GAZETTEER,
+    )
+    mentions = spark.createDataFrame(
+        [("u1", "x", 0, 1, 1)],
+        "url string, surface string, begin_pos int, end_pos int, n_occurrences int",
+    )
+    for parts in (1, 7):
+        got = link_mentions(mentions.repartition(parts), gaz).collect()
+        assert [r["type_uri"] for r in got] == ["kg:A"], parts
