@@ -28,7 +28,9 @@ def build_metadata(ontology: DataFrame) -> DataFrame:
     modifiers = attach_properties(closed, ontology).withColumn(
         "c_tablename", F.lit("MODIFIER_DIMENSION")
     )
-    meta = concepts.unionByName(modifiers).select(
+    # allowMissingColumns: modifier rows carry their datatype (DATA_LEAVES,
+    # r5); concept rows have none
+    meta = concepts.unionByName(modifiers, allowMissingColumns=True).select(
         F.col("level").alias("c_hlevel"),
         F.col("path").alias("c_fullname"),
         F.substring_index(F.col("class_uri"), ":", -1).alias("c_name"),

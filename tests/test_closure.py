@@ -88,3 +88,92 @@ def test_subtree_filter(closed):
     sub = subtree(closed, "\\Thing\\Place\\")
     uris = {r["class_uri"] for r in sub.collect()}
     assert uris == {"kg:City", "kg:Country"}
+
+
+def test_closure_raises_on_cycle_and_depth(spark):
+    """Review r5: max_rounds exhaustion must raise, not silently truncate
+    (or return cycle-polluted rows)."""
+    import pytest
+
+    # a ROOT-REACHABLE cycle loops the frontier forever (an orphan cycle
+    # is simply never visited — entry-point-driven walk, like the
+    # reference's recursion from ROOT_URIS)
+    rows = [("r", None, "class", "R", None, None, False),
+            ("a", "r", "class", "A", None, None, False),
+            ("b", "a", "class", "B", None, None, False),
+            ("a", "b", "class", "A", None, None, False)]
+    from rdf_i2b2_converter_spark import schemas
+
+    onto = spark.createDataFrame(rows, schema=schemas.ONTOLOGY)
+    with pytest.raises(ValueError, match="did not converge"):
+        close_ontology(onto, max_rounds=8, check_path_collisions=False)
+    deep = [("r", None, "class", "R", None, None, False)] + [
+        (f"n{i}", f"n{i-1}" if i else "r", "class", f"N{i}", None, None, False)
+        for i in range(12)
+    ]
+    onto2 = spark.createDataFrame(deep, schema=schemas.ONTOLOGY)
+    with pytest.raises(ValueError, match="did not converge"):
+        close_ontology(onto2, max_rounds=4)
+    assert close_ontology(onto2, max_rounds=16).count() == 13  # root + n0..n11
+
+
+def test_closure_multi_parent_no_row_blowup(spark):
+    """Review r5: per-ROW stop_expansion flags made a k-parent class emit
+    k^2 rows; a DAG node must appear exactly once per parent path."""
+    from rdf_i2b2_converter_spark import schemas
+
+    rows = [("r", None, "class", "R", None, None, False),
+            ("p1", "r", "class", "P1", None, None, False),
+            ("p2", "r", "class", "P2", None, None, False),
+            ("x", "p1", "class", "X", None, None, False),
+            ("x", "p2", "class", "X", None, None, False),
+            ("y", "x", "class", "Y", None, None, False)]
+    onto = spark.createDataFrame(rows, schema=schemas.ONTOLOGY)
+    closed = close_ontology(onto, check_path_collisions=False)
+    x_paths = sorted(r["path"] for r in closed.filter("class_uri = 'x'").collect())
+    assert x_paths == ["\\r\\p1\\x\\", "\\r\\p2\\x\\"]  # once per parent, no square
+    assert closed.filter("class_uri = 'y'").count() == 2  # one per x-path
+
+
+def test_closure_detects_path_collision(spark):
+    """Review r5: distinct URIs with equal local names under one parent
+    would silently merge materialized paths — must raise."""
+    import pytest
+
+    from rdf_i2b2_converter_spark import schemas
+
+    rows = [("r", None, "class", "R", None, None, False),
+            ("snomed:Cancer", "r", "class", "C1", None, None, False),
+            ("icd:Cancer", "r", "class", "C2", None, None, False)]
+    onto = spark.createDataFrame(rows, schema=schemas.ONTOLOGY)
+    with pytest.raises(ValueError, match="path"):
+        close_ontology(onto)
+
+
+def test_attach_properties_recursive_and_datatype(spark, corpus, closed):
+    """Review r5: a property nested under another property attaches
+    recursively (walk_mtree is recursive); datatype survives."""
+    from rdf_i2b2_converter_spark import schemas
+
+    extra = spark.createDataFrame(
+        [("kg:hasCity", "kg:hasName", "property", "has city", "xsd:string", None, False)],
+        schema=schemas.ONTOLOGY,
+    )
+    onto = corpus["ontology"].unionByName(extra)
+    props = attach_properties(closed, onto)
+    city = props.filter("class_uri = 'kg:hasCity'").collect()
+    assert len(city) == 1
+    parent = props.filter("class_uri = 'kg:hasName'").collect()[0]
+    assert city[0]["level"] == parent["level"] + 1
+    assert city[0]["path"].startswith(parent["path"])
+    assert city[0]["datatype"] == "xsd:string"
+    assert parent["datatype"] == "xsd:string"
+
+
+def test_subtree_normalizes_separator(spark, closed):
+    """Review r5: a bare prefix must not over-match sibling paths or keep
+    the root row."""
+    with_sep = {r["class_uri"] for r in subtree(closed, "\\Thing\\Place\\").collect()}
+    bare = {r["class_uri"] for r in subtree(closed, "\\Thing\\Place").collect()}
+    assert bare == with_sep
+    assert "kg:Place" not in bare
