@@ -94,9 +94,5 @@ TOKEN_SPLIT_REGEX = r"[^a-z0-9]+"
 #: Target on-disk partition size for sinks (100 TB / ~512 MB ≈ 200k files).
 TARGET_PARTITION_BYTES = 512 * 1024 * 1024
 
-#: Checkpoint the iterative-closure lineage every N rounds
-#: (SURVEY.md §4: fixpoint loops need localCheckpoint to bound lineage).
-CLOSURE_CHECKPOINT_EVERY = 3
-
 #: Salt buckets for hot-key (head-entity) aggregations.
 DEFAULT_SALT_BUCKETS = 16
