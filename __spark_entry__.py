@@ -41,6 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for heavy per-row compute over the testdata
+    parquet files, which are single-row-group (one scan task regardless
+    of size). No-op whenever the scan already has enough splits."""
+    from rdf_i2b2_converter_spark.operators.spread import spread_input
+
+    return spread_input(df)
+
+
 # --------------------------------------------------------------------------
 # inline gazetteer shared by the KG queries (single- and multi-token
 # surfaces drawn from the documents vocabulary)
@@ -708,7 +717,7 @@ GROUP BY md5(trim(regexp_replace(lower(text), '{_TOK}', ' ', 'g')))
 def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_i2b2_converter_spark.functions.text import lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(lang_id("text").alias("pred_lang")).groupBy("pred_lang").agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -748,7 +757,7 @@ _ALL_STOPWORDS = sorted(
 def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_i2b2_converter_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -782,7 +791,7 @@ def _t_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
@@ -806,7 +815,7 @@ FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 def _t_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_i2b2_converter_spark.operators.dedup import minhash_signature
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sig = minhash_signature(docs, "text", k=3, n_hashes=4)
     return sig.select(
         "doc_id",
@@ -876,7 +885,7 @@ FROM bands a JOIN bands b
 def _t_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_i2b2_converter_spark.operators.dedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = docs.select(F.col("doc_id").alias("id_a")).filter(F.col("id_a") < 100).withColumn(
         "id_b", F.col("id_a") + 1
     )
@@ -903,7 +912,7 @@ def _s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return brute_force_topk(emb, list(q), k=10, round_digits=4)
+    return brute_force_topk(_spread(emb), list(q), k=10, round_digits=4)
 
 
 _S_ANN_SQL = """
@@ -1104,7 +1113,7 @@ def _t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_i2b2_converter_spark.functions.text import lang_id, quality_score
     from rdf_i2b2_converter_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     kept = docs.filter(quality_score("text") >= 0.5)
     deduped = exact_dedup(kept, "text", "doc_id")
     return deduped.select(lang_id("text").alias("pred_lang")).groupBy("pred_lang").agg(
@@ -1161,7 +1170,7 @@ def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves so neither side trips signed/unsigned casts."""
     from rdf_i2b2_converter_spark.operators.dedup import simhash64
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _spread(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     sim = simhash64(docs, "text", hash_fn="md5")
     return sim.select(
         "doc_id",

