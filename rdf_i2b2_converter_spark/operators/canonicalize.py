@@ -99,34 +99,35 @@ def connected_components(
     driver-synchronous Spark rounds cost far more than collecting a few MB.
     Large graphs run the distributed large-star/small-star loop.
     """
-    # every endpoint of the RAW input, self-loop-only nodes included —
-    # the u != v filter below would otherwise drop a node whose only
-    # edges are self-loops from the mapping entirely (review r5),
-    # breaking the 'includes every endpoint' contract for inner-joiners
-    raw_nodes = (
-        edges.select(F.col("src_id").alias("id"))
-        .unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-    )
-    e = (
+    # symmetrize WITH self-loops kept: a node whose only edges are
+    # self-loops must still appear in the mapping (review r5), and keeping
+    # the loop rows here lets the sub-threshold driver path derive EVERY
+    # endpoint from one collect instead of re-scanning the input for a
+    # distinct-nodes table and anti-joining it (r6: the old shape cost
+    # three extra Spark jobs per call). The star loop below still requires
+    # loop-free edges; they are filtered on that branch only.
+    e_all = (
         edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .unionByName(edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v")))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: materialized by the count
     )
-    n_edges = e.count()
+    n_edges = e_all.count()
     if n_edges == 0:
-        return raw_nodes.select("id", F.col("id").alias("component"))
-    # e is SYMMETRIZED (both directions), so compare against 2x the
+        return edges.sparkSession.createDataFrame([], "id string, component string")
+    # e_all is SYMMETRIZED (both directions), so compare against 2x the
     # documented per-input-edge threshold (review r5: the cutoff was
-    # silently half of what callers tuned)
+    # silently half of what callers tuned; self-loop rows now count once —
+    # a path-choice detail only, both paths compute the same mapping)
     if n_edges < 2 * driver_threshold:
-        m = _driver_union_find(e)
-        singles = raw_nodes.join(m.select("id"), "id", "left_anti").select(
-            "id", F.col("id").alias("component")
-        )
-        return m.unionByName(singles)
+        # one cached-RDD collect; _driver_union_find registers self-loop
+        # endpoints via find(), so the mapping is complete without a
+        # separate singles pass
+        return _driver_union_find(e_all)
+    raw_nodes = e_all.select(F.col("u").alias("id")).distinct()
+    # no second checkpoint: the filter reads the cached e_all partitions
+    # and round 1 of the star loop checkpoints its own output
+    e = e_all.filter(F.col("u") != F.col("v"))
 
     prev_sig = None
     converged = False

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import BLACKLIST
+from ..config import BLACKLIST, MAX_BASECODE_LENGTH
 from ..functions.ids import chained_code
 
 #: rname (src/utils.py:130-132): strip the namespace prefix up to ':'.
@@ -35,8 +35,125 @@ def _rname(col):
     return F.substring_index(col, ":", -1)
 
 
+# nullability mirrors the distributed plan's output exactly (class_uri /
+# level / path / kind are provably non-null there) so both paths are
+# schema-identical for downstream unions
+def _closed_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("class_uri", T.StringType(), False),
+            T.StructField("parent_uri", T.StringType(), True),
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("code", T.StringType(), True),
+            T.StructField("parent_code", T.StringType(), True),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("terminology", T.StringType(), True),
+            T.StructField("stop_expansion", T.BooleanType(), True),
+        ]
+    )
+
+
+def _driver_close(spark, rows, max_rounds: int, check_path_collisions: bool) -> DataFrame:
+    """Driver-side BFS over a collected (sub-threshold) class-row list —
+    the same small-side reasoning as connected_components' union-find
+    path: a 3-5-level ontology costs ~10 driver-synchronous Spark jobs in
+    the distributed loop, versus one collect here. Semantics replicate the
+    distributed branch EXACTLY, including the SQL null-equality of the
+    muting join (NULL terminology matches nothing) and the per-ROW
+    multi-parent fan-out."""
+    import hashlib
+    from collections import defaultdict
+
+    def code(parent_code: str | None, uri: str) -> str:
+        payload = (parent_code or "") + uri + "\\"
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:MAX_BASECODE_LENGTH]
+
+    def rname(uri: str) -> str:
+        return uri.rsplit(":", 1)[-1]
+
+    # muting (G3): count (child_row, parent_row) PAIRS per parent class —
+    # the distributed form is a row-level join, so a class with k parent
+    # rows contributes k pairs per child row; NULL terminology joins
+    # nothing (SQL equality, not Python's None == None)
+    rows_by_uri: dict[str, list] = defaultdict(list)
+    for r in rows:
+        rows_by_uri[r["class_uri"]].append(r)
+    n_same_term: dict[str, int] = defaultdict(int)
+    for c in rows:
+        if c["parent_uri"] is None or c["terminology"] is None:
+            continue
+        for p in rows_by_uri.get(c["parent_uri"], ()):
+            if p["terminology"] is not None and c["terminology"] == p["terminology"]:
+                n_same_term[p["class_uri"]] += 1
+    stop = {u: n_same_term.get(u, 0) > 1 for u in rows_by_uri}
+
+    # node table: exact-duplicate rows collapse (dropDuplicates analog)
+    nodes = list(
+        dict.fromkeys(
+            (r["class_uri"], r["parent_uri"], r["kind"], r["terminology"]) for r in rows
+        )
+    )
+    children: dict[str, list] = defaultdict(list)
+    roots = []
+    for t in nodes:
+        (children[t[1]] if t[1] is not None else roots).append(t)
+
+    result: list[tuple] = []
+    frontier: list[tuple] = []
+    for uri, par, kind, term in roots:
+        row = (uri, par, 0, "\\" + rname(uri) + "\\", code(None, uri), None, kind, term, stop[uri])
+        result.append(row)
+        frontier.append(row)
+    converged = not rows
+    for level in range(1, max_rounds + 1):
+        if converged:
+            break
+        nxt: list[tuple] = []
+        for f in frontier:
+            if f[8]:  # stop_expansion: children not expanded
+                continue
+            f_uri, f_path, f_code = f[0], f[3], f[4]
+            for uri, par, kind, term in children.get(f_uri, ()):
+                nxt.append(
+                    (
+                        uri, par, level, f_path + rname(uri) + "\\",
+                        code(f_code, uri), f_code, kind, term, stop[uri],
+                    )
+                )
+        if not nxt:
+            converged = True
+            break
+        result.extend(nxt)
+        frontier = nxt
+    if not converged:
+        raise ValueError(
+            f"close_ontology did not converge within {max_rounds} rounds: "
+            "the hierarchy is deeper than max_rounds or parent_uri has a "
+            "cycle; raise max_rounds or fix the ontology"
+        )
+    if check_path_collisions:
+        by_path: dict[str, set] = defaultdict(set)
+        for row in result:
+            by_path[row[3]].add(row[0])
+        for p, uris in by_path.items():
+            if len(uris) > 1:
+                raise ValueError(
+                    f"close_ontology: path {p!r} is produced by "
+                    f"{len(uris)} distinct class URIs (equal local names under "
+                    "one parent) — the materialized-path key would silently "
+                    "merge unrelated subtrees; rename or disambiguate"
+                )
+    return spark.createDataFrame(result, _closed_schema())
+
+
 def close_ontology(
-    ontology: DataFrame, max_rounds: int = 64, check_path_collisions: bool = True
+    ontology: DataFrame,
+    max_rounds: int = 64,
+    check_path_collisions: bool = True,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """ontology(class_uri, parent_uri, kind, ..., blacklisted) ->
     ONTOLOGY_CLOSED(class_uri, parent_uri, level, path, code, parent_code,
@@ -59,10 +176,24 @@ def close_ontology(
     so distinct URIs with equal local names under one parent would merge
     paths — one cheap ontology-sized agg turns that silent key collision
     into an error (disable for trusted inputs).
+
+    ``driver_threshold``: ontologies whose class-row count fits under it
+    close on the driver via one capped collect + Python BFS (r6) — the
+    distributed fixpoint costs one driver-synchronous Spark job per level
+    plus setup joins, which dominates wall-clock for the common
+    10^2-10^5-node case; both paths produce identical rows (pytest-pinned)
+    and larger ontologies take the distributed loop unchanged.
     """
     classes = ontology.filter((F.col("kind") == "class") & (~F.col("blacklisted"))).filter(
         ~F.col("class_uri").isin(list(BLACKLIST))
     )
+    head = (
+        classes.select("class_uri", "parent_uri", "kind", "terminology")
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(head) <= driver_threshold:
+        return _driver_close(ontology.sparkSession, head, max_rounds, check_path_collisions)
 
     # stop_expansion: computed once, joined onto every frontier.
     same_term_children = (
@@ -90,10 +221,12 @@ def close_ontology(
 
     # materialize the (small) node table once — it is re-joined every
     # round; dropDuplicates guards against accidental exact-duplicate
-    # input rows multiplying the whole subtree
+    # input rows multiplying the whole subtree. Lazy checkpoint (r6):
+    # round 1's job materializes it alongside its own work instead of a
+    # separate driver-synchronous job up front.
     nodes = classes.join(flags, "class_uri", "left").select(
         "class_uri", "parent_uri", "kind", "terminology", "stop_expansion"
-    ).dropDuplicates().localCheckpoint(eager=True)
+    ).dropDuplicates().localCheckpoint(eager=False)
 
     roots = nodes.filter(F.col("parent_uri").isNull()).select(
         "class_uri",
@@ -107,7 +240,7 @@ def close_ontology(
         "stop_expansion",
     )
 
-    result = roots.localCheckpoint(eager=True)
+    result = roots.localCheckpoint(eager=False)
     frontier = result
     converged = False
     for level in range(1, max_rounds + 1):
@@ -135,8 +268,11 @@ def close_ontology(
             )
         )
         # checkpoint every round: truncates the iterative lineage (SURVEY.md
-        # §4) and makes the emptiness check a metadata-cheap count
-        nxt = nxt.localCheckpoint(eager=True)
+        # §4). Lazy + count (r6): the count triggers materialization, so
+        # each round is ONE Spark job instead of an eager-checkpoint job
+        # followed by a count job — the fixpoint's cost is driver-
+        # synchronous round latency, not data volume.
+        nxt = nxt.localCheckpoint(eager=False)
         if nxt.count() == 0:
             converged = True
             break

@@ -426,8 +426,11 @@ def decode_jpeg(content: bytes) -> list[float]:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA,
+                        0xCB, 0xCC, 0xCD, 0xCE, 0xCF):
+            # includes 0xC8 (JPG reserved) and 0xCC (DAC) — review r5:
+            # skipping them as generic segments surfaced the less
+            # diagnostic 'missing SOF0/SOS' later in the stream
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} (baseline SOF0 only)"
             )

@@ -31,6 +31,8 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     are unchanged; round-robin repartition is deterministic under task
     retries (Spark sorts before repartitioning by default, SPARK-23207).
     """
+    if df.isStreaming:  # partition introspection needs a batch plan
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

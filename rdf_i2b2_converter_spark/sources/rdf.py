@@ -826,16 +826,21 @@ def _read_turtle_lines(
         )
 
     def expand_per_file(name: str, bit: int):
+        # ONE flat CaseWhen (review r6): the old when().otherwise(prev)
+        # nesting built a CaseWhen tree up to 1024 levels deep per column,
+        # risking driver StackOverflowError in Catalyst's recursive
+        # analysis well below the branch-count guard. Conditions are
+        # disjoint (a row has one file; prefixes cannot contain ':'), so
+        # branch order is irrelevant and chained .when() is equivalent.
         col = F.col(name)
         marked = F.col("pn_mask").bitwiseAND(F.lit(bit)) != 0
-        expr = col
+        expr = None
         for f, d in per_file.items():
             for pfx, iri in d.items():
-                expr = F.when(
-                    marked & (F.col("file") == f) & col.startswith(pfx + ":"),
-                    F.concat(F.lit(iri), F.substring(col, len(pfx) + 2, 2147483647)),
-                ).otherwise(expr)
-        return expr.alias(name)
+                cond = marked & (F.col("file") == f) & col.startswith(pfx + ":")
+                val = F.concat(F.lit(iri), F.substring(col, len(pfx) + 2, 2147483647))
+                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return (col if expr is None else expr.otherwise(col)).alias(name)
 
     return triples_only.select(
         expand_per_file("s", 1),

@@ -177,3 +177,18 @@ def test_subtree_normalizes_separator(spark, closed):
     bare = {r["class_uri"] for r in subtree(closed, "\\Thing\\Place").collect()}
     assert bare == with_sep
     assert "kg:Place" not in bare
+
+
+def test_driver_and_distributed_paths_identical(spark, corpus):
+    """r6: sub-threshold ontologies close via driver-side BFS (one
+    collect); the distributed fixpoint loop must stay bit-identical —
+    same rows, schema, and types under both paths, multi-parent DAG and
+    muting included."""
+    onto = corpus["ontology"]
+    fast = close_ontology(onto)  # default threshold -> driver BFS
+    slow = close_ontology(onto, driver_threshold=0)  # force distributed
+    assert fast.schema == slow.schema
+    cols = fast.columns
+    a = sorted(tuple(r[c] for c in cols) for r in fast.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in slow.collect())
+    assert a == b

@@ -805,3 +805,75 @@ def test_jpeg_decoder_never_raises_unexpectedly_property(cut, flips):
         assert len(f) == 8 and all(isinstance(v, float) for v in f)
     except ValueError:
         pass  # the one licensed failure mode
+
+
+# ---- N-Triples differential: JVM fast path ≡ Python UCHAR path ----------
+# (VERDICT r5 #5: the branch split in ntriples_from_lines is the one place
+# a silent format divergence can still hide. Same triples are rendered
+# twice — once plain UTF-8, once with every literal/subject char written
+# as a \uXXXX / \UXXXXXXXX escape — and both renderings must parse to the
+# SAME rows through the two branches.)
+
+_nt_local = st.text(alphabet="abcdefgxyz0123", min_size=1, max_size=8)
+_nt_littext = st.text(
+    alphabet="abc XYZ012éß≤あ%&'()*+,-./:;=?@[]^_`{|}~",
+    min_size=0,
+    max_size=24,
+)
+_nt_obj = st.one_of(
+    st.tuples(st.just("iri"), _nt_local, st.just(None)),
+    st.tuples(st.just("lit"), _nt_littext, st.just(None)),
+    st.tuples(st.just("lang"), _nt_littext, st.sampled_from(["en", "de", "pt-BR"])),
+    st.tuples(st.just("dt"), _nt_littext, st.just("http://www.w3.org/2001/XMLSchema#string")),
+)
+
+
+def _uesc(text: str) -> str:
+    """Every char as a UCHAR escape (BMP \\uXXXX, astral \\UXXXXXXXX)."""
+    return "".join(
+        f"\\u{ord(c):04X}" if ord(c) <= 0xFFFF else f"\\U{ord(c):08X}" for c in text
+    )
+
+
+@given(st.lists(st.tuples(_nt_local, _nt_local, _nt_obj), min_size=1, max_size=6))
+@settings(max_examples=12, deadline=None)
+def test_ntriples_jvm_vs_python_branch_differential(spark, triples):
+    from rdf_i2b2_converter_spark.sources.rdf import ntriples_from_lines
+
+    plain_lines, esc_lines, expected = [], [], []
+    for s, p, (kind, val, extra) in triples:
+        subj = f"http://ex.org/{s}"
+        pred = f"http://ex.org/{p}"
+        if kind == "iri":
+            obj_plain = obj_esc = f"<http://ex.org/{val}>"
+            row = (subj, pred, f"http://ex.org/{val}", None, None)
+        elif kind == "lit":
+            obj_plain, obj_esc = f'"{val}"', f'"{_uesc(val)}"'
+            row = (subj, pred, val, "<PLAIN>", None)
+        elif kind == "lang":
+            obj_plain, obj_esc = f'"{val}"@{extra}', f'"{_uesc(val)}"@{extra}'
+            row = (subj, pred, val, "<PLAIN>", extra)
+        else:
+            obj_plain = f'"{val}"^^<{extra}>'
+            obj_esc = f'"{_uesc(val)}"^^<{extra}>'
+            row = (subj, pred, val, extra, None)
+        plain_lines.append(f"<{subj}> <{pred}> {obj_plain} .")
+        # subject escaped too, so EVERY escaped line routes to the
+        # Python branch even when the object is an IRI / empty literal
+        esc_lines.append(f"<{_uesc(subj)}> <{pred}> {obj_esc} .")
+        expected.append(row)
+
+    def parse(lines):
+        df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        got = ntriples_from_lines(df).collect()
+        return sorted((r["s"], r["p"], r["o"], r["o_datatype"], r["o_lang"]) for r in got)
+
+    want = sorted(
+        (s, p, o, dt if dt != "<PLAIN>" else _NT_PLAIN, lang)
+        for s, p, o, dt, lang in expected
+    )
+    assert parse(plain_lines) == want
+    assert parse(esc_lines) == want
+
+
+from rdf_i2b2_converter_spark.sources.rdf import _PLAIN as _NT_PLAIN  # noqa: E402
