@@ -2,7 +2,8 @@
 
 Isolates each headline suite query with the noop sink so we time the
 computation, not the count()-pruned plan, and writes
-``plans/<tag>/<query>_<label>.txt`` with ``explain('formatted')`` output.
+``plans/$SPARK_GRAFT_PLAN_TAG/<query>_<label>.txt`` (tag default: r06)
+with ``explain('formatted')`` output.
 
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [label] [q1 q2 ...]
@@ -61,7 +62,8 @@ def main() -> None:
     spark.range(0, 1000, numPartitions=cpus).mapInPandas(_noop, "id long").count()
 
     qs = E.queries()
-    plan_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+    round_tag = os.environ.get("SPARK_GRAFT_PLAN_TAG", "r06")
+    plan_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", round_tag)
     os.makedirs(plan_dir, exist_ok=True)
 
     medians: dict[str, float] = {}

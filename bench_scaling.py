@@ -190,8 +190,9 @@ N vs 4N protocol and composes the engine with the SMT ceiling.
   the reference's basecode contract, src/utils.py:112-127)
 
 Caveats: local-mode levels share one JVM/driver and one disk; shuffle is
-in-process. Fixed driver costs (job scheduling, the CC fixpoint's ~6
-barrier rounds) do not shrink with cores, so these efficiencies are
+in-process. Fixed driver costs (job scheduling, the sub-threshold CC
+driver union-find collect — r6 replaced the ~6 barrier rounds for graphs
+this size) do not shrink with cores, so these efficiencies are
 conservative lower bounds for a real cluster at this per-core data volume.
 """
         )

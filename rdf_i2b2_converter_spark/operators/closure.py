@@ -35,25 +35,13 @@ def _rname(col):
     return F.substring_index(col, ":", -1)
 
 
-# nullability mirrors the distributed plan's output exactly (class_uri /
-# level / path / kind are provably non-null there) so both paths are
-# schema-identical for downstream unions
 def _closed_schema():
-    from pyspark.sql import types as T
+    """schemas.ONTOLOGY_CLOSED — the single source of truth for the closed
+    table; its nullability was reconciled to the distributed plan's actual
+    output (review r6) so both closure paths are schema-identical."""
+    from .. import schemas
 
-    return T.StructType(
-        [
-            T.StructField("class_uri", T.StringType(), False),
-            T.StructField("parent_uri", T.StringType(), True),
-            T.StructField("level", T.IntegerType(), False),
-            T.StructField("path", T.StringType(), False),
-            T.StructField("code", T.StringType(), True),
-            T.StructField("parent_code", T.StringType(), True),
-            T.StructField("kind", T.StringType(), False),
-            T.StructField("terminology", T.StringType(), True),
-            T.StructField("stop_expansion", T.BooleanType(), True),
-        ]
-    )
+    return schemas.ONTOLOGY_CLOSED
 
 
 def _driver_close(spark, rows, max_rounds: int, check_path_collisions: bool) -> DataFrame:
@@ -77,18 +65,23 @@ def _driver_close(spark, rows, max_rounds: int, check_path_collisions: bool) -> 
     # muting (G3): count (child_row, parent_row) PAIRS per parent class —
     # the distributed form is a row-level join, so a class with k parent
     # rows contributes k pairs per child row; NULL terminology joins
-    # nothing (SQL equality, not Python's None == None)
-    rows_by_uri: dict[str, list] = defaultdict(list)
+    # nothing (SQL equality, not Python's None == None). O(rows) via
+    # per-class terminology multiplicity counts (review r6: a nested loop
+    # over the parent class's rows is quadratic in row multiplicity).
+    term_mult: dict[str, dict] = defaultdict(dict)  # class_uri -> {term: k}
     for r in rows:
-        rows_by_uri[r["class_uri"]].append(r)
+        t = r["terminology"]
+        if t is not None:
+            d = term_mult[r["class_uri"]]
+            d[t] = d.get(t, 0) + 1
     n_same_term: dict[str, int] = defaultdict(int)
     for c in rows:
         if c["parent_uri"] is None or c["terminology"] is None:
             continue
-        for p in rows_by_uri.get(c["parent_uri"], ()):
-            if p["terminology"] is not None and c["terminology"] == p["terminology"]:
-                n_same_term[p["class_uri"]] += 1
-    stop = {u: n_same_term.get(u, 0) > 1 for u in rows_by_uri}
+        n_same_term[c["parent_uri"]] += term_mult.get(c["parent_uri"], {}).get(
+            c["terminology"], 0
+        )
+    stop = {r["class_uri"]: n_same_term.get(r["class_uri"], 0) > 1 for r in rows}
 
     # node table: exact-duplicate rows collapse (dropDuplicates analog)
     nodes = list(

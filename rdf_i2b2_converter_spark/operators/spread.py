@@ -33,6 +33,14 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     if df.isStreaming:  # partition introspection needs a batch plan
         return df
+    # Only probe scan-shaped plans. ``df.rdd`` on a plan that carries an
+    # Exchange would, under AQE, materialize every upstream query stage at
+    # plan-composition time (real jobs whose results the later action does
+    # not reuse — review r6). A plan string render runs zero jobs; any
+    # Exchange in it also means downstream partitioning is governed by
+    # shuffle.partitions/AQE anyway, so spreading would be pointless.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

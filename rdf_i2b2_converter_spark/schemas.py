@@ -107,17 +107,22 @@ TRIPLES = T.StructType(
 
 #: Ontology closure output — analog of METADATA.csv rows
 #: (path/level/basecode built by src/i2b2wrappers.py:219-288).
+# nullability matches the close_ontology distributed plan's ACTUAL output
+# (code/stop_expansion flow through joins and are nullable there — review
+# r6 reconciled this contract with the plan; the driver-BFS path reuses it
+# verbatim so both paths are schema-identical, differential-tested in
+# tests/test_closure.py)
 ONTOLOGY_CLOSED = T.StructType(
     [
         T.StructField("class_uri", T.StringType(), False),
         T.StructField("parent_uri", T.StringType(), True),
         T.StructField("level", T.IntegerType(), False),
         T.StructField("path", T.StringType(), False),
-        T.StructField("code", T.StringType(), False),
+        T.StructField("code", T.StringType(), True),
         T.StructField("parent_code", T.StringType(), True),
         T.StructField("kind", T.StringType(), False),
         T.StructField("terminology", T.StringType(), True),
-        T.StructField("stop_expansion", T.BooleanType(), False),
+        T.StructField("stop_expansion", T.BooleanType(), True),
     ]
 )
 

@@ -61,8 +61,10 @@ def get_spark(
         # local file otherwise yields 1-4 scan tasks; at cluster scale file
         # counts exceed any core count and this is a no-op. Splits still
         # align to parquet row groups — single-row-group files need
-        # operators/spread.spread_input instead.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # operators/spread.spread_input instead. Derived from the SAME
+        # resolved core count as shuffle_partitions (review r6: the env
+        # default would over-split scans on a local[4] test session).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

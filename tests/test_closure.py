@@ -90,9 +90,13 @@ def test_subtree_filter(closed):
     assert uris == {"kg:City", "kg:Country"}
 
 
-def test_closure_raises_on_cycle_and_depth(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("thr", [100_000, 0], ids=["driver-bfs", "distributed"])
+def test_closure_raises_on_cycle_and_depth(spark, thr):
     """Review r5: max_rounds exhaustion must raise, not silently truncate
-    (or return cycle-polluted rows)."""
+    (or return cycle-polluted rows). Both closure paths (review r6)."""
     import pytest
 
     # a ROOT-REACHABLE cycle loops the frontier forever (an orphan cycle
@@ -106,15 +110,16 @@ def test_closure_raises_on_cycle_and_depth(spark):
 
     onto = spark.createDataFrame(rows, schema=schemas.ONTOLOGY)
     with pytest.raises(ValueError, match="did not converge"):
-        close_ontology(onto, max_rounds=8, check_path_collisions=False)
+        close_ontology(onto, max_rounds=8, check_path_collisions=False,
+                       driver_threshold=thr)
     deep = [("r", None, "class", "R", None, None, False)] + [
         (f"n{i}", f"n{i-1}" if i else "r", "class", f"N{i}", None, None, False)
         for i in range(12)
     ]
     onto2 = spark.createDataFrame(deep, schema=schemas.ONTOLOGY)
     with pytest.raises(ValueError, match="did not converge"):
-        close_ontology(onto2, max_rounds=4)
-    assert close_ontology(onto2, max_rounds=16).count() == 13  # root + n0..n11
+        close_ontology(onto2, max_rounds=4, driver_threshold=thr)
+    assert close_ontology(onto2, max_rounds=16, driver_threshold=thr).count() == 13
 
 
 def test_closure_multi_parent_no_row_blowup(spark):
@@ -135,9 +140,10 @@ def test_closure_multi_parent_no_row_blowup(spark):
     assert closed.filter("class_uri = 'y'").count() == 2  # one per x-path
 
 
-def test_closure_detects_path_collision(spark):
+@_pytest.mark.parametrize("thr", [100_000, 0], ids=["driver-bfs", "distributed"])
+def test_closure_detects_path_collision(spark, thr):
     """Review r5: distinct URIs with equal local names under one parent
-    would silently merge materialized paths — must raise."""
+    would silently merge materialized paths — must raise (both paths)."""
     import pytest
 
     from rdf_i2b2_converter_spark import schemas
@@ -147,7 +153,7 @@ def test_closure_detects_path_collision(spark):
             ("icd:Cancer", "r", "class", "C2", None, None, False)]
     onto = spark.createDataFrame(rows, schema=schemas.ONTOLOGY)
     with pytest.raises(ValueError, match="path"):
-        close_ontology(onto)
+        close_ontology(onto, driver_threshold=thr)
 
 
 def test_attach_properties_recursive_and_datatype(spark, corpus, closed):

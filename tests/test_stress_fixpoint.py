@@ -13,15 +13,21 @@ def _ontology_rows(rows):
     return [(c, p, "class", None, None, None, False) for c, p in rows]
 
 
-def test_closure_deep_chain_and_wide_fanout(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_threshold", [100_000, 0], ids=["driver-bfs", "distributed"])
+def test_closure_deep_chain_and_wide_fanout(spark, driver_threshold):
     """Depth 30 chain under a 400-child fanout: levels stamped correctly,
     every node reached exactly once, paths unique, no lineage explosion
-    (localCheckpoint per round keeps each round's plan flat)."""
+    (localCheckpoint per round keeps each round's plan flat). Runs BOTH
+    closure paths (review r6: the driver-BFS default would otherwise
+    leave the distributed loop untested at depth)."""
     rows = [("root", None)]
     rows += [(f"w{i}", "root") for i in range(400)]          # wide fanout
     rows += [("d0", "root")] + [(f"d{i}", f"d{i-1}") for i in range(1, 30)]  # deep chain
     ont = spark.createDataFrame(_ontology_rows(rows), schema=schemas.ONTOLOGY)
-    closed = close_ontology(ont, max_rounds=40)
+    closed = close_ontology(ont, max_rounds=40, driver_threshold=driver_threshold)
     n = closed.count()
     assert n == 1 + 400 + 30
     levels = {r["class_uri"]: r["level"] for r in closed.collect()}
