@@ -20,9 +20,10 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_SALT_BUCKETS
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """Collected union-find with lexicographic-min roots; returned as a
-    (broadcastable) mapping DataFrame. Only for sub-threshold edge sets."""
+def _union_find_rows(pairs) -> list[tuple[str, str]]:
+    """Union-find with lexicographic-min roots over (u, v) pairs; returns
+    the complete (id, component) mapping rows, self-loop endpoints
+    included (find() registers both ends of every pair)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -32,17 +33,24 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in e.collect():
-        ra, rb = find(row["u"]), find(row["v"])
+    for u, v in pairs:
+        ra, rb = find(u), find(v)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     comp: dict[str, list[str]] = {}
     for n in list(parent):
         comp.setdefault(find(n), []).append(n)
-    rows = []
+    rows: list[tuple[str, str]] = []
     for members in comp.values():
         m = min(members)
         rows.extend((n, m) for n in members)
+    return rows
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Collected union-find over an edge DataFrame; returned as a
+    (broadcastable) mapping DataFrame. Only for sub-threshold edge sets."""
+    rows = _union_find_rows((r["u"], r["v"]) for r in e.collect())
     return e.sparkSession.createDataFrame(rows, "id string, component string")
 
 
@@ -99,6 +107,28 @@ def connected_components(
     driver-synchronous Spark rounds cost far more than collecting a few MB.
     Large graphs run the distributed large-star/small-star loop.
     """
+    # r6 fast path: ONE capped, shuffle-free collect of the raw edges.
+    # When it returns fewer rows than the cap we hold the WHOLE edge set,
+    # so the documented threshold criterion (symmetrized-distinct row
+    # count vs 2x driver_threshold) is evaluated exactly, in Python, and
+    # the sub-threshold case never launches a shuffle at all. A raw edge
+    # list bigger than the cap falls through to the Spark path below
+    # unchanged (the discarded head costs one bounded collect).
+    cap = 2 * driver_threshold + 1
+    head = (
+        edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        .limit(cap)
+        .collect()
+    )
+    if len(head) < cap:
+        sym = {(r["u"], r["v"]) for r in head} | {(r["v"], r["u"]) for r in head}
+        if not sym:
+            return edges.sparkSession.createDataFrame([], "id string, component string")
+        if len(sym) < 2 * driver_threshold:
+            return edges.sparkSession.createDataFrame(
+                _union_find_rows(sorted(sym)), "id string, component string"
+            )
+
     # symmetrize WITH self-loops kept: a node whose only edges are
     # self-loops must still appear in the mapping (review r5), and keeping
     # the loop rows here lets the sub-threshold driver path derive EVERY
